@@ -1,0 +1,132 @@
+"""Cost-volume construction ops (NDHWC).
+
+TPU-native re-design of the reference cost constructors
+``architecture/modeling/aggregation/utils/block_cost.py`` (block_cost :16-83,
+groupwise_correlation :6-13), ``cat_fms.py`` (:5-36) and ``dif_fms.py``
+(:5-44).
+
+Layouts: features [B, H, W, C]; disparity samples [B, D, H, W]; cost volumes
+[B, D, H, W, C'] so the channel dim stays in TPU lanes for the 3D-conv stacks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .interpolate import avg_pool3d, resize_trilinear
+from .warp import shift_1d
+
+CHANNELS_PER_GROUP = 8
+
+
+def groupwise_correlation(fea1: jnp.ndarray, fea2: jnp.ndarray) -> jnp.ndarray:
+    """Negative squared distance summed within channel groups of 8.
+
+    Reference: groupwise_correlation (block_cost.py:6-13).
+    [B, D, H, W, C] -> [B, D, H, W, C//8].
+    """
+    b, d, h, w, c = fea1.shape
+    assert c % CHANNELS_PER_GROUP == 0, f"channels {c} not divisible by 8"
+    g = c // CHANNELS_PER_GROUP
+    diff = fea1 - fea2
+    cost = -(diff * diff).reshape(b, d, h, w, g, CHANNELS_PER_GROUP).sum(-1)
+    return cost
+
+
+def shift_right_features(target_fm: jnp.ndarray, max_disp: int) -> jnp.ndarray:
+    """Stack right features shifted by each integer disparity.
+
+    out[:, d, :, x, :] = target[:, :, x-d, :] (zero beyond the left edge) —
+    the unfold+flip construction of block_cost's int path
+    (block_cost.py:36-41), built with static pads instead of unfold.
+    [B, H, W, C] -> [B, D, H, W, C].
+    """
+    b, h, w, c = target_fm.shape
+    shifted = []
+    for d in range(max_disp):
+        if d == 0:
+            shifted.append(target_fm)
+        else:
+            pad = jnp.pad(target_fm, ((0, 0), (0, 0), (d, 0), (0, 0)))
+            shifted.append(pad[:, :, :w, :])
+    return jnp.stack(shifted, axis=1)
+
+
+def block_cost(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
+               disp_sample, block_cost_scale: int = 3) -> jnp.ndarray:
+    """THE cost-volume constructor (reference block_cost, block_cost.py:16-83).
+
+    Two modes on ``disp_sample``:
+      * int D: dense integer disparities 0..D-1, difference cost
+        ``-(l - r_shifted)^2`` -> base cost has C channels.
+      * tensor [B, D, H, W]: sparse per-pixel hypotheses, right features
+        warped by ``-disp`` along W, base cost = concat([ref, warped]) ->
+        2C channels.
+    Both are augmented with a multi-scale groupwise correlation pyramid
+    (scales 2^s, s < block_cost_scale) pooled over (H, W), correlated, and
+    trilinearly upsampled back (block_cost.py:64-81).
+
+    Returns [B, D, H, W, C_base + block_cost_scale * C // 8].
+    """
+    b, h, w, c = reference_fm.shape
+
+    if isinstance(disp_sample, int):
+        d = disp_sample
+        tgt = shift_right_features(target_fm, d)                  # [B,D,H,W,C]
+        ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
+        diff = ref - tgt
+        base = -(diff * diff)
+    else:
+        d = disp_sample.shape[1]
+        ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
+        tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
+        base = jnp.concatenate([ref, tgt], axis=-1)
+
+    costs = [base]
+    for s in range(int(block_cost_scale)):
+        sh, sw = min(2 ** s, h), min(2 ** s, w)
+        if (sh, sw) == (1, 1):
+            local_ref, local_tgt = ref, tgt
+        else:
+            local_ref = avg_pool3d(ref, (1, sh, sw))
+            local_tgt = avg_pool3d(tgt, (1, sh, sw))
+        corr = groupwise_correlation(local_ref, local_tgt)
+        if (sh, sw) != (1, 1):
+            corr = resize_trilinear(corr, (d, h, w))
+        costs.append(corr)
+
+    return jnp.concatenate(costs, axis=-1)
+
+
+def cat_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
+            disp_sample: jnp.ndarray) -> jnp.ndarray:
+    """Concatenation cost volume over per-pixel disparity hypotheses.
+
+    Reference: cat_fms (cat_fms.py:5-36).
+    [B,H,W,C] x2 + [B,D,H,W] -> [B, D, H, W, 2C].
+    """
+    b, h, w, c = reference_fm.shape
+    d = disp_sample.shape[1]
+    ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
+    tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
+    return jnp.concatenate([ref, tgt], axis=-1)
+
+
+def dif_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
+            disp_sample: jnp.ndarray) -> jnp.ndarray:
+    """Absolute-difference cost volume; out-of-view positions get max cost.
+
+    Reference: dif_fms (dif_fms.py:5-44, out-of-view fill :36-41).
+    -> [B, D, H, W, C].
+    """
+    b, h, w, c = reference_fm.shape
+    d = disp_sample.shape[1]
+    ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
+    tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
+    cost = jnp.abs(ref - tgt)
+
+    xs = jax.lax.broadcasted_iota(disp_sample.dtype, (b, d, h, w), 3)
+    sample_x = xs - disp_sample
+    in_view = (sample_x >= 0) & (sample_x <= w - 1)
+    max_cost = jnp.max(cost)
+    return jnp.where(in_view[..., None], cost, max_cost)

@@ -1,0 +1,158 @@
+"""Align-corners interpolation & adaptive pooling, TPU-native.
+
+The reference uses ``F.interpolate(..., align_corners=True)`` pervasively
+(~30 call sites, e.g. aggregation/TemporalStereo/module.py:100,106,287,294 and
+coarse.py:93-95).  ``jax.image.resize`` implements half-pixel sampling only, so
+we build exact align-corners resampling ourselves.
+
+TPU design note: instead of gathers (slow on TPU), resize is expressed as
+dense matmuls with *constant* interpolation matrices baked at trace time
+(shapes are static under jit).  A bilinear resize of [B,H,W,C] becomes
+``R_h @ x @ R_w^T`` — two MXU matmuls whose operands XLA constant-folds.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] bilinear align-corners interpolation matrix."""
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        mat[:, 0] = 1.0
+        return mat
+    if out_size == 1:
+        # align_corners: single output samples source coordinate 0
+        mat[0, 0] = 1.0
+        return mat
+    scale = (in_size - 1) / (out_size - 1)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    w = (src - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    mat[rows, lo] = 1.0 - w
+    mat[rows, lo + 1] = w
+    return mat
+
+
+def _apply_axis(x: jnp.ndarray, mat: np.ndarray, axis: int) -> jnp.ndarray:
+    """Contract ``x`` along ``axis`` with [out, in] matrix."""
+    if mat.shape[0] == mat.shape[1] and np.allclose(mat, np.eye(mat.shape[0])):
+        return x
+    m = jnp.asarray(mat, dtype=x.dtype)
+    x = jnp.moveaxis(x, axis, -1)
+    # HIGHEST precision: interpolation weights are exact linear maps and the
+    # contraction is tiny next to the convs — don't let the MXU round to bf16.
+    x = jnp.einsum("...i,oi->...o", x, m, precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(x, -1, axis)
+
+
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
+                    h_axis: int = -3, w_axis: int = -2) -> jnp.ndarray:
+    """Bilinear align-corners resize. Default layout [..., H, W, C] (NHWC).
+
+    Parity target: ``F.interpolate(mode='bilinear', align_corners=True)``.
+    """
+    h_axis = h_axis % x.ndim
+    w_axis = w_axis % x.ndim
+    out_h, out_w = size
+    x = _apply_axis(x, _interp_matrix(x.shape[h_axis], out_h), h_axis)
+    x = _apply_axis(x, _interp_matrix(x.shape[w_axis], out_w), w_axis)
+    return x
+
+
+def resize_trilinear(x: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
+    """Trilinear align-corners resize of NDHWC volume [B, D, H, W, C].
+
+    Parity target: ``F.interpolate(mode='trilinear', align_corners=True)``
+    (reference block_cost.py:74, module.py:287,294).
+    """
+    out_d, out_h, out_w = size
+    x = _apply_axis(x, _interp_matrix(x.shape[1], out_d), 1)
+    x = _apply_axis(x, _interp_matrix(x.shape[2], out_h), 2)
+    x = _apply_axis(x, _interp_matrix(x.shape[3], out_w), 3)
+    return x
+
+
+def upsample_disp(disp: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Resize a [B, H, W, 1] disparity map to ``size`` and rescale its values
+    by the width ratio — the reference's ubiquitous
+    ``F.interpolate(d * full_w / dw, ...)`` idiom (TemporalStereo.py:305-309).
+    """
+    scale = size[1] / disp.shape[-2]
+    return resize_bilinear(disp * scale, size)
+
+
+# ---------------------------------------------------------------- pooling --
+
+def avg_pool2d(x: jnp.ndarray, window: tuple[int, int],
+               stride: tuple[int, int] | None = None,
+               padding: tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    """Average pool over NHWC (count_include_pad=True, torch default)."""
+    stride = stride or window
+    dims = (1, window[0], window[1], 1)
+    strides = (1, stride[0], stride[1], 1)
+    pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    return summed / (window[0] * window[1])
+
+
+def max_pool2d(x: jnp.ndarray, window: tuple[int, int],
+               stride: tuple[int, int] | None = None,
+               padding: tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    stride = stride or window
+    dims = (1, window[0], window[1], 1)
+    strides = (1, stride[0], stride[1], 1)
+    pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
+
+
+def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
+               stride: tuple[int, int, int] | None = None,
+               padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
+    """Average pool over NDHWC (reference F.avg_pool3d, block_cost.py:68,
+    module.py:416)."""
+    stride = stride or window
+    dims = (1, *window, 1)
+    strides = (1, *stride, 1)
+    pads = ((0, 0), *(((p, p)) for p in padding), (0, 0))
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    return summed / (window[0] * window[1] * window[2])
+
+
+def max_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
+               stride: tuple[int, int, int] | None = None,
+               padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
+    stride = stride or window
+    dims = (1, *window, 1)
+    strides = (1, *stride, 1)
+    pads = ((0, 0), *(((p, p)) for p in padding), (0, 0))
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """NHWC adaptive average pool; requires evenly-divisible sizes (the only
+    case exercised by the losses' gt rescaling — smooth_l1_loss.py:57)."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = size
+    if (h, w) == (oh, ow):
+        return x
+    assert h % oh == 0 and w % ow == 0, (
+        f"adaptive_avg_pool2d supports divisible sizes only: {(h, w)}->{size}")
+    return avg_pool2d(x, (h // oh, w // ow))
+
+
+def adaptive_max_pool2d(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = size
+    if (h, w) == (oh, ow):
+        return x
+    assert h % oh == 0 and w % ow == 0, (
+        f"adaptive_max_pool2d supports divisible sizes only: {(h, w)}->{size}")
+    return max_pool2d(x, (h // oh, w // ow))

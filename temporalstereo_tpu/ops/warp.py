@@ -1,0 +1,229 @@
+"""Geometric warping ops (NHWC, pixel-coordinate API).
+
+TPU-native re-design of reference layers
+``architecture/modeling/layers/inverse_warp.py`` (inverse_warp :6-77,
+mesh_grid :80-90, project_to_3d :92-178) and ``inverse_warp_3d.py`` (:4-57).
+
+Conventions (differ deliberately from the torch reference):
+* images are NHWC ``[B, H, W, C]``; volumes are NDHWC ``[B, D, H, W, C]``
+* sampling coordinates are in *pixel units* (the reference normalizes to
+  [-1, 1] only to satisfy ``F.grid_sample``; pixel units avoid the round trip)
+* ``align_corners=True`` bilinear semantics throughout (matches reference)
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mesh_grid(b: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Pixel coordinate grid [B, H, W, 2] with channels (x, y).
+
+    Reference: mesh_grid (inverse_warp.py:80-90), transposed to NHWC.
+    """
+    xs = jax.lax.broadcasted_iota(dtype, (b, h, w), 2)
+    ys = jax.lax.broadcasted_iota(dtype, (b, h, w), 1)
+    return jnp.stack([xs, ys], axis=-1)
+
+
+def grid_sample(img: jnp.ndarray, coords: jnp.ndarray,
+                padding_mode: str = "zeros") -> jnp.ndarray:
+    """Bilinear sample of NHWC ``img`` at pixel ``coords`` [B, Ho, Wo, 2]=(x,y).
+
+    Equivalent to ``F.grid_sample(..., align_corners=True)`` after undoing the
+    reference's [-1,1] normalization (inverse_warp.py:67-72).
+    padding_mode: 'zeros' masks each out-of-range tap; 'border' clamps.
+    """
+    b, h, w, c = img.shape
+    x, y = coords[..., 0], coords[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def tap(xi, yi, weight):
+        if padding_mode == "zeros":
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            weight = weight * valid.astype(img.dtype)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = img.reshape(b, h * w, c)
+        idx = (yc * w + xc).reshape(b, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*xi.shape, c)
+        return vals * weight[..., None]
+
+    out = (tap(x0, y0, (1 - fx) * (1 - fy))
+           + tap(x0 + 1, y0, fx * (1 - fy))
+           + tap(x0, y0 + 1, (1 - fx) * fy)
+           + tap(x0 + 1, y0 + 1, fx * fy))
+    return out
+
+
+def inverse_warp(img: jnp.ndarray, motion: jnp.ndarray, mode: str = "disparity",
+                 K: Optional[jnp.ndarray] = None,
+                 inv_K: Optional[jnp.ndarray] = None,
+                 T_target_to_source: Optional[jnp.ndarray] = None,
+                 padding_mode: str = "zeros",
+                 eps: float = 1e-7,
+                 output_all: bool = False):
+    """Backward warp ``img`` (source) into the target frame.
+
+    Reference: inverse_warp (inverse_warp.py:6-77). ``motion`` layout:
+    disparity [B,H,W,1] (added to x), flow [B,H,W,2], depth [B,H,W,1].
+    """
+    b, h, w, cm = motion.shape
+    output: Dict[str, jnp.ndarray] = {}
+    grid = mesh_grid(b, h, w, motion.dtype)
+
+    if mode == "disparity":
+        assert cm == 1, f"disparity must have 1 channel, got {cm}"
+        coords = jnp.stack([grid[..., 0] + motion[..., 0], grid[..., 1]], -1)
+    elif mode == "flow":
+        assert cm == 2, f"flow must have 2 channels, got {cm}"
+        coords = grid + motion
+    elif mode == "depth":
+        assert cm == 1, f"depth must have 1 channel, got {cm}"
+        outs = project_to_3d(motion, K, inv_K, T_target_to_source, eps)
+        output.update(outs)
+        coords = jnp.moveaxis(
+            outs["src_pixel_coord"].reshape(b, h, w, 2), -1, -1)
+    else:
+        raise TypeError(f"unsupported warp mode {mode!r}")
+
+    projected = grid_sample(img, coords, padding_mode=padding_mode)
+    if output_all:
+        return projected, output
+    return projected
+
+
+def project_to_3d(depth: jnp.ndarray, K: jnp.ndarray,
+                  inv_K: Optional[jnp.ndarray] = None,
+                  T_target_to_source: Optional[jnp.ndarray] = None,
+                  eps: float = 1e-7) -> Dict[str, jnp.ndarray]:
+    """Unproject depth map(s) to 3D, optionally reproject into another camera.
+
+    Reference: project_to_3d (inverse_warp.py:92-178).  ``depth`` is
+    [B, H, W, C] — C>1 means C stacked depth maps reprojected at once (used to
+    warp entire disparity-hypothesis stacks, TemporalStereo.py:410-413).
+
+    Returns dict with ``homo_points_3d`` [B, 4, C*H*W] and, when a transform is
+    given, ``triangular_depth`` [B,H,W,C], ``optical_flow`` [B,H,W,C,2],
+    ``flow_mask`` [B,H,W,C], ``src_pixel_coord`` [B,H,W,C,2].
+    """
+    b, h, w, c = depth.shape
+    dtype = depth.dtype
+    output: Dict[str, jnp.ndarray] = {}
+
+    grid = mesh_grid(b, h, w, dtype)                       # [B,H,W,2]
+    ones = jnp.ones((b, h, w, 1), dtype)
+    homo_pix = jnp.concatenate([grid, ones], -1)           # [B,H,W,3] (x,y,1)
+    # [B, 3, H*W] -> tiled to C stacked maps -> [B, 3, C*H*W]
+    homo_flat = homo_pix.reshape(b, h * w, 3).transpose(0, 2, 1)
+    homo_flat = jnp.tile(homo_flat, (1, 1, c))
+    # depth channel-major flattening to match the tiling: [B, C*H*W]
+    depth_flat = depth.transpose(0, 3, 1, 2).reshape(b, -1)
+
+    if inv_K is None:
+        inv_K = jnp.linalg.inv(K[:, :3, :3])
+    points_3d = jnp.matmul(inv_K[:, :3, :3], homo_flat) * depth_flat[:, None, :]
+    homo_points_3d = jnp.concatenate(
+        [points_3d, jnp.ones((b, 1, c * h * w), dtype)], axis=1)
+    output["homo_points_3d"] = homo_points_3d
+
+    if T_target_to_source is not None:
+        if K.shape[-1] == 3:
+            new_K = jnp.eye(4, dtype=dtype)[None].repeat(b, axis=0)
+            new_K = new_K.at[:, :3, :3].set(K[:, :3, :3])
+        else:
+            new_K = K
+        P = jnp.matmul(new_K, T_target_to_source)[:, :3, :]
+        src_points = jnp.matmul(P, homo_points_3d)         # [B, 3, C*H*W]
+
+        tri_depth = src_points[:, 2, :].reshape(b, c, h, w).transpose(0, 2, 3, 1)
+        output["triangular_depth"] = tri_depth
+
+        src_pix = src_points[:, :2, :] / (src_points[:, 2:3, :] + eps)
+        # [B, 2, C, H, W] -> [B, H, W, C, 2]
+        src_pix = src_pix.reshape(b, 2, c, h, w).transpose(0, 3, 4, 2, 1)
+        mask = ((src_pix[..., 0] >= 0) & (src_pix[..., 0] <= w - 1)
+                & (src_pix[..., 1] >= 0) & (src_pix[..., 1] <= h - 1))
+        output["flow_mask"] = mask
+        output["src_pixel_coord"] = src_pix
+        output["optical_flow"] = src_pix - grid[:, :, :, None, :]
+
+    return output
+
+
+def shift_1d(img: jnp.ndarray, shift: jnp.ndarray,
+             padding_mode: str = "zeros") -> jnp.ndarray:
+    """Bilinear sample of a volume along its W axis at ``x + shift``.
+
+    Specialized W-only path of reference inverse_warp_3d (inverse_warp_3d.py:
+    4-57, disp_Y=None): the D/H grid axes are identity there, so the 5D
+    grid_sample degenerates to a per-pixel 1D bilinear lookup along W.
+
+    Args:
+      img:   [B, D, H, W, C] volume (or broadcastable [B, 1, H, W, C]).
+      shift: [B, D, H, W] pixel shift added to the x coordinate.
+    Returns [B, D, H, W, C].
+    """
+    b, d, h, w = shift.shape
+    c = img.shape[-1]
+    img = jnp.broadcast_to(img, (b, d, h, w, c))
+    xs = jax.lax.broadcasted_iota(shift.dtype, (b, d, h, w), 3) + shift
+
+    x0 = jnp.floor(xs)
+    fx = xs - x0
+
+    def tap(xi, weight):
+        if padding_mode == "zeros":
+            valid = (xi >= 0) & (xi <= w - 1)
+            weight = weight * valid.astype(img.dtype)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = jnp.take_along_axis(img, xc[..., None], axis=3)
+        return vals * weight[..., None]
+
+    return tap(x0, 1 - fx) + tap(x0 + 1, fx)
+
+
+def inverse_warp_3d(img: jnp.ndarray, disp: jnp.ndarray,
+                    padding_mode: str = "zeros",
+                    disp_y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """General 3D warp of an NDHWC volume by per-(d,h,w) X (and optional Y)
+    shifts. Reference: inverse_warp_3d.py:4-57.
+    """
+    if disp_y is None:
+        if img.ndim == 4:
+            img = img[:, None]
+        return shift_1d(img, disp, padding_mode)
+
+    b, d, h, w = disp.shape
+    c = img.shape[-1]
+    if img.ndim == 4:
+        img = img[:, None]
+    img = jnp.broadcast_to(img, (b, d, h, w, c))
+    xs = jax.lax.broadcasted_iota(disp.dtype, (b, d, h, w), 3) + disp
+    ys = jax.lax.broadcasted_iota(disp.dtype, (b, d, h, w), 2) + disp_y
+
+    x0, y0 = jnp.floor(xs), jnp.floor(ys)
+    fx, fy = xs - x0, ys - y0
+
+    def tap(xi, yi, weight):
+        if padding_mode == "zeros":
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            weight = weight * valid.astype(img.dtype)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = img.reshape(b, d, h * w, c)
+        idx = (yc * w + xc).reshape(b, d, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=2)
+        return vals.reshape(b, d, h, w, c) * weight[..., None]
+
+    return (tap(x0, y0, (1 - fx) * (1 - fy))
+            + tap(x0 + 1, y0, fx * (1 - fy))
+            + tap(x0, y0 + 1, (1 - fx) * fy)
+            + tap(x0 + 1, y0 + 1, fx * fy))
