@@ -1,0 +1,276 @@
+"""TemporalStereo network: backbone + cascade + temporal state machine.
+
+TPU-native re-design of the per-frame forward and temporal orchestration of
+``projects/TemporalStereo/TemporalStereo.py``:
+  * forward (:282-324): backbone -> update_map -> aggregation
+  * update_map (:326-461): pose-based reprojection of the previous frame's
+    cost memory and local disparity map into the current camera, forward
+    softmax-splatting along the rigid flow
+  * the recurrent state contract of multi_frame_forward (:250-280) /
+    video_inference.py — here a static-shape ``PrevInfo`` pytree so the whole
+    temporal loop can live inside one jitted graph / ``lax.scan``.
+
+Divergence note (static shapes): the reference grows the local map 1->3
+channels over the first frames (TemporalStereo.py:367-372).  Here the local
+map always has LOCAL_MAP_SIZE channels; before it is first filled, all
+channels take the warped previous disparity (same hypothesis set, duplicated)
+— gated by ``PrevInfo.local_map_valid``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interpolate import resize_bilinear
+from ..ops.softsplat import softsplat
+from ..ops.warp import project_to_3d
+from .aggregation import CostMemory, TemporalStereoAggregation
+from .backbone import TemporalStereoBackbone
+
+EXPMAX = 50.0  # metric clamp before exp() (reference TemporalStereo.py:5)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PrevInfo:
+    """Recurrent state carried frame-to-frame (the reference's prev_info
+    dict: memories, cost_memory, prev_disp, local_map)."""
+    memories: Tuple[jnp.ndarray, ...]
+    has_memory: jnp.ndarray           # scalar bool
+    cost_memory: CostMemory
+    prev_disp: jnp.ndarray            # [B, H, W, 1] full-res
+    local_map: jnp.ndarray            # [B, H8, W8, S] (S may be 0)
+    local_map_valid: jnp.ndarray      # scalar bool
+
+
+class TemporalStereoNet(nn.Module):
+    """Per-frame network (reference forward, TemporalStereo.py:282-324).
+
+    __call__(left_image, right_image, prev, train) -> (outputs dict, PrevInfo)
+    ``prev`` must already be warped into the current camera via
+    ``update_prev_info`` (the parameter-free reprojection step).
+    """
+    backbone_cfg: Dict[str, Any]
+    coarse_cfg: Dict[str, Any]
+    fine_cfg: Dict[str, Any]
+    precise_cfg: Dict[str, Any]
+    with_previous: bool = False
+    use_past_cost: bool = False
+    local_map_size: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, left_image: jnp.ndarray, right_image: jnp.ndarray,
+                 prev: Optional[PrevInfo] = None, train: bool = False):
+        b, full_h, full_w, _ = left_image.shape
+
+        memories = prev.memories if prev is not None else None
+        has_memory = prev.has_memory if prev is not None else None
+        l_fms, r_fms, new_memories = TemporalStereoBackbone(
+            **self.backbone_cfg, dtype=self.dtype, name="backbone")(
+            left_image, right_image, memories, has_memory, train)
+
+        cost_memory = None
+        local_map = None
+        if prev is not None and self.use_past_cost:
+            cost_memory = prev.cost_memory
+        if prev is not None and self.local_map_size > 0:
+            g = prev.local_map_valid.astype(prev.local_map.dtype)
+            local_map = prev.local_map * g
+
+        (disps, costs, samples, offs, search_ranges, new_cost_memory,
+         full_disp) = TemporalStereoAggregation(
+            self.coarse_cfg, self.fine_cfg, self.precise_cfg,
+            dtype=self.dtype, name="aggregation")(
+            l_fms, r_fms, left_image, right_image, cost_memory, local_map,
+            train)
+
+        # all scales to full resolution with width-ratio value scaling
+        # (reference :305-309)
+        full_disps = []
+        for d in disps:
+            dw = d.shape[2]
+            full_disps.append(
+                resize_bilinear(d * (full_w / dw), (full_h, full_w)))
+
+        outputs = {
+            "disps": full_disps,
+            "costs": costs,
+            "offsets": offs,
+            "disp_samples": samples,
+            "search_ranges": search_ranges,
+            "left_feats": l_fms,
+            "right_feats": r_fms,
+        }
+
+        if prev is not None:
+            new_prev = PrevInfo(
+                memories=new_memories,
+                has_memory=jnp.ones((), jnp.bool_),
+                cost_memory=new_cost_memory,
+                prev_disp=jax.lax.stop_gradient(full_disp),
+                local_map=prev.local_map,
+                local_map_valid=prev.local_map_valid,
+            )
+        else:
+            new_prev = None
+        return outputs, new_prev
+
+
+# --------------------------------------------------------------------------
+# Parameter-free temporal reprojection (reference update_map, :326-461)
+# --------------------------------------------------------------------------
+
+def _downscale_K(K: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Scale the first two intrinsic rows by 1/factor (:347-351)."""
+    return jnp.concatenate(
+        [K[:, 0:1, :] / factor, K[:, 1:2, :] / factor, K[:, 2:, :]], axis=1)
+
+
+def _splat_metric(prev_disp: jnp.ndarray) -> jnp.ndarray:
+    """Importance metric: disparity minus its global mean, clamped
+    (:364, :380, :418 — nearer pixels win occlusion contests)."""
+    return jnp.clip(prev_disp - jnp.mean(prev_disp), -EXPMAX, EXPMAX)
+
+
+def update_prev_info(prev: PrevInfo, K: jnp.ndarray, baseline: jnp.ndarray,
+                     T_past_to_now: jnp.ndarray, full_size: Tuple[int, int],
+                     use_past_cost: bool, local_map_size: int,
+                     splat_method: str = "einsum") -> PrevInfo:
+    """Warp the carried temporal state into the current camera.
+
+    K: [B, 3, 3] full-resolution intrinsics; baseline: [B]; T_past_to_now:
+    [B, 4, 4].  Pure function of arrays — no parameters — so it sits outside
+    the flax module, exactly between backbone and aggregation as in the
+    reference forward (:292-293).
+    """
+    full_h, full_w = full_size
+    bl = baseline.reshape(-1, 1, 1, 1).astype(prev.prev_disp.dtype)
+
+    def flow_and_project(prev_disp_full, h, w, stack=None):
+        factor = full_w / w
+        down_K = _downscale_K(K, factor)
+        down_inv_K = jnp.linalg.inv(down_K)
+        focal = down_K[:, 0, 0].reshape(-1, 1, 1, 1)
+
+        pd = resize_bilinear(prev_disp_full * (w / prev_disp_full.shape[2]),
+                             (h, w))
+        prev_depth = bl * focal / (pd + 1e-5)
+        out = project_to_3d(prev_depth, down_K, down_inv_K, T_past_to_now)
+        flow = out["optical_flow"][:, :, :, 0, :]          # [B, h, w, 2]
+
+        result = {"flow": flow, "prev_disp": pd, "focal": focal,
+                  "down_K": down_K, "down_inv_K": down_inv_K}
+        if stack is not None:
+            depth_stack = bl * focal / (stack + 1e-5)
+            outs = project_to_3d(depth_stack, down_K, down_inv_K,
+                                 T_past_to_now)
+            updated = bl * focal / (outs["triangular_depth"] + 1e-5)
+            result["updated_stack"] = updated
+        return result
+
+    new_cost_memory = prev.cost_memory
+    if use_past_cost:
+        ms = jax.lax.stop_gradient(prev.cost_memory.disp_sample)
+        mv = jax.lax.stop_gradient(prev.cost_memory.cost_volume)
+        h, w = ms.shape[1:3]
+        proj = flow_and_project(prev.prev_disp, h, w, stack=ms)
+        sample_cost = jnp.concatenate([proj["updated_stack"], mv], axis=-1)
+        warped = softsplat(sample_cost, proj["flow"],
+                           _splat_metric(proj["prev_disp"][..., :1]),
+                           mode="softmax", method=splat_method)
+        k = ms.shape[-1]
+        new_cost_memory = CostMemory(
+            disp_sample=jax.lax.stop_gradient(warped[..., :k]),
+            cost_volume=jax.lax.stop_gradient(warped[..., k:]),
+            valid=prev.cost_memory.valid,
+        )
+
+    new_local_map = prev.local_map
+    new_local_valid = prev.local_map_valid
+    if local_map_size > 0:
+        s = local_map_size
+        h, w = prev.local_map.shape[1:3]
+        proj = flow_and_project(prev.prev_disp, h, w)
+        pd = proj["prev_disp"]
+        # ring update: newest disparity in channel 0 (reference :370-372);
+        # before first fill, every channel takes the previous disparity
+        stacked = jnp.concatenate(
+            [pd, prev.local_map[..., : s - 1]], axis=-1)
+        filled = jnp.broadcast_to(pd, stacked.shape)
+        lm = jnp.where(prev.local_map_valid, stacked, filled)
+
+        factor = full_w / w
+        down_K = _downscale_K(K, factor)
+        focal = down_K[:, 0, 0].reshape(-1, 1, 1, 1)
+        local_depth = bl * focal / (lm + 1e-5)
+        outs = project_to_3d(local_depth, down_K,
+                             jnp.linalg.inv(down_K), T_past_to_now)
+        updated_lm = bl * focal / (outs["triangular_depth"] + 1e-5)
+        warped_lm = softsplat(updated_lm, proj["flow"], _splat_metric(pd),
+                              mode="softmax", method=splat_method)
+        new_local_map = jax.lax.stop_gradient(warped_lm)
+        new_local_valid = jnp.ones((), jnp.bool_)
+
+    return PrevInfo(
+        memories=prev.memories,
+        has_memory=prev.has_memory,
+        cost_memory=new_cost_memory,
+        prev_disp=prev.prev_disp,
+        local_map=new_local_map,
+        local_map_valid=new_local_valid,
+    )
+
+
+def init_prev_info(model: TemporalStereoNet, batch_size: int,
+                   full_size: Tuple[int, int],
+                   memory_shapes: Tuple[Tuple[int, ...], ...],
+                   topk: int, dtype=jnp.float32) -> PrevInfo:
+    """Zero-state PrevInfo with static shapes for the temporal scan."""
+    full_h, full_w = full_size
+    h8, w8 = full_h // 8, full_w // 8
+    # memories live on the concatenated [left; right] batch (2B) — the trunk
+    # processes both views in one pass (backbone/TemporalStereo.py:150-160)
+    memories = tuple(jnp.zeros((2 * batch_size, *s), dtype)
+                     for s in memory_shapes)
+    return PrevInfo(
+        memories=memories,
+        has_memory=jnp.zeros((), jnp.bool_),
+        cost_memory=CostMemory.zeros(batch_size, h8, w8, topk, dtype),
+        prev_disp=jnp.zeros((batch_size, full_h, full_w, 1), dtype),
+        local_map=jnp.zeros(
+            (batch_size, h8, w8, max(model.local_map_size, 1)), dtype),
+        local_map_valid=jnp.zeros((), jnp.bool_),
+    )
+
+
+def backbone_memory_shapes(backbone_cfg: Dict[str, Any],
+                           full_size: Tuple[int, int]) -> Tuple[Tuple[int, ...], ...]:
+    """Static (h, w, mc) shapes of the backbone channel memories for a given
+    input size, derived from the stage spec without tracing."""
+    from .backbone import V2S_GROUPS
+
+    mp = backbone_cfg.get("memory_percent", 0.0)
+    groups = backbone_cfg.get("groups", V2S_GROUPS)
+    full_h, full_w = full_size
+    shapes = []
+    if mp <= 0:
+        return tuple()
+    stride = 2  # stem
+    ch = None
+    for group in groups:
+        for spec in group:
+            for r in range(spec.repeats):
+                s = spec.stride if r == 0 else 1
+                stride *= s
+                in_ch = ch if ch is not None else 24
+                if (spec.block_type == "ir" and s == 1
+                        and in_ch == spec.channels):
+                    mc = int(in_ch * mp)
+                    shapes.append((full_h // stride, full_w // stride, mc))
+                ch = spec.channels
+    return tuple(shapes)
