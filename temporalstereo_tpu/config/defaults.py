@@ -155,7 +155,8 @@ def get_default_config() -> CN:
     _C.MODEL.LOSSES.SMOOTH_L1_LOSS.MAX_DISP = 192
     _C.MODEL.LOSSES.SMOOTH_L1_LOSS.START_DISP = 0
     _C.MODEL.LOSSES.SMOOTH_L1_LOSS.GLOBAL_WEIGHT = 1.0
-    _C.MODEL.LOSSES.SMOOTH_L1_LOSS.WEIGHTS = [1.0, 0.7, 0.5]
+    # 4 levels: [full, 1/4-refined, 1/4, 1/8] (reference sceneflow.yaml)
+    _C.MODEL.LOSSES.SMOOTH_L1_LOSS.WEIGHTS = [2.0, 1.0, 0.7, 0.5]
     _C.MODEL.LOSSES.SMOOTH_L1_LOSS.SPARSE = False
 
     # ------------------------------------------------------------------ VAL

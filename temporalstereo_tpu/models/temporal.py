@@ -1,0 +1,139 @@
+"""Multi-frame temporal forward: the reference's frame loop as a lax.scan.
+
+Re-design of ``multi_frame_forward`` (projects/TemporalStereo/
+TemporalStereo.py:250-280) and the streaming mode of video_inference.py:
+  * frames processed in ascending timestamp order, carrying PrevInfo
+  * by default past frames run with stop_gradient in eval mode (BN running
+    stats), only the final frame contributes loss (:260-274,
+    PREVIOUS_WITH_GRADIENT=False) — so the scan carries O(1) state and no
+    BPTT memory blow-up
+  * pose chaining: T_past_to_now[t] = T[t] @ inv_T[t-1] (:335-338)
+
+Batch layout (time-major pytree):
+  left/right:  [T, B, H, W, 3]
+  T_cam/inv_T: [T, B, 4, 4]  (world->cam and inverse)
+  K:           [B, 3, 3] full-res intrinsics; baseline: [B]
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .stereo import (
+    PrevInfo,
+    TemporalStereoNet,
+    backbone_memory_shapes,
+    init_prev_info,
+    update_prev_info,
+)
+
+
+def chained_poses(T_cam: jnp.ndarray, inv_T: jnp.ndarray) -> jnp.ndarray:
+    """[T, B, 4, 4] world->cam poses -> per-step T_past_to_now (identity for
+    the first frame)."""
+    t = T_cam.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=T_cam.dtype), T_cam.shape[1:])
+    if t == 1:
+        return eye[None]
+    rel = jnp.einsum("tbij,tbjk->tbik", T_cam[1:], inv_T[:-1])
+    return jnp.concatenate([eye[None], rel], axis=0)
+
+
+def _maybe_warp(model: TemporalStereoNet, prev: PrevInfo, K, baseline,
+                T_p2n, full_size, splat_method: str) -> PrevInfo:
+    """Warp carried state into the current camera, but only once real state
+    exists (reference gates on (t-1) in frame_idxs, :292-299)."""
+    return jax.lax.cond(
+        prev.has_memory,
+        lambda p: update_prev_info(p, K, baseline, T_p2n, full_size,
+                                   model.use_past_cost, model.local_map_size,
+                                   splat_method),
+        lambda p: p,
+        prev)
+
+
+def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
+                        batch: Dict[str, jnp.ndarray], train: bool = False,
+                        previous_with_gradient: bool = False,
+                        splat_method: str = "einsum",
+                        mutable: Tuple[str, ...] = ()):
+    """Run the temporal window; return (outputs of final frame, new_variables,
+    final PrevInfo).
+
+    ``new_variables`` is the (possibly updated) variable dict when ``mutable``
+    includes 'batch_stats' and train=True, else ``variables`` unchanged.
+    """
+    left, right = batch["left"], batch["right"]
+    t, b, full_h, full_w, _ = left.shape
+    full_size = (full_h, full_w)
+
+    if not model.with_previous:
+        return _apply(model, variables, left[-1], right[-1], None, train,
+                      mutable)
+
+    K = batch["K"]
+    baseline = batch["baseline"]
+    t_p2n = chained_poses(batch["T_cam"], batch["inv_T"])
+
+    mem_shapes = backbone_memory_shapes(model.backbone_cfg, full_size)
+    topk = model.precise_cfg.get("topk", 2)
+    dtype = left.dtype
+    prev0 = init_prev_info(model, b, full_size, mem_shapes, topk, dtype)
+
+    if previous_with_gradient:
+        # unrolled, all frames in train mode with gradients (reference
+        # :260-263); losses over every frame are the caller's business
+        prev = prev0
+        all_outputs = []
+        for i in range(t):
+            prev = _maybe_warp(model, prev, K, baseline, t_p2n[i], full_size,
+                               splat_method)
+            outputs, variables, prev = _apply(
+                model, variables, left[i], right[i], prev, train, mutable)
+            all_outputs.append(outputs)
+        return all_outputs[-1], variables, prev
+
+    # past frames: eval mode, stop-gradient carry, compiled once via scan
+    if t > 1:
+        def frame_step(prev, inputs):
+            li, ri, tp = inputs
+            prev = _maybe_warp(model, prev, K, baseline, tp, full_size,
+                               splat_method)
+            _, new_prev = model.apply(variables, li, ri, prev, False)
+            return jax.lax.stop_gradient(new_prev), None
+
+        prev, _ = jax.lax.scan(
+            frame_step, prev0, (left[:-1], right[:-1], t_p2n[:-1]))
+    else:
+        prev = prev0
+
+    prev = _maybe_warp(model, prev, K, baseline, t_p2n[-1], full_size,
+                       splat_method)
+    return _apply(model, variables, left[-1], right[-1], prev, train, mutable)
+
+
+def _apply(model, variables, left, right, prev, train, mutable):
+    if train and mutable:
+        (outputs, new_prev), updates = model.apply(
+            variables, left, right, prev, True, mutable=list(mutable))
+        new_vars = {**variables, **updates}
+        return outputs, new_vars, new_prev
+    outputs, new_prev = model.apply(variables, left, right, prev, train)
+    return outputs, variables, new_prev
+
+
+def streaming_step(model: TemporalStereoNet, variables: Dict,
+                   left: jnp.ndarray, right: jnp.ndarray,
+                   prev: Optional[PrevInfo], K: jnp.ndarray,
+                   baseline: jnp.ndarray, T_past_to_now: jnp.ndarray,
+                   splat_method: str = "einsum"):
+    """Online single-frame step reusing carried state — the video mode
+    (video_inference.py:253-301). Returns (outputs, new_prev)."""
+    full_size = left.shape[1:3]
+    if prev is not None:
+        prev = _maybe_warp(model, prev, K, baseline, T_past_to_now, full_size,
+                           splat_method)
+    outputs, new_prev = model.apply(variables, left, right, prev, False)
+    return outputs, new_prev

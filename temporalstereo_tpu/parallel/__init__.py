@@ -1,0 +1,10 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

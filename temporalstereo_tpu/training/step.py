@@ -1,0 +1,109 @@
+"""Train / eval step functions.
+
+Loss assembly mirrors the reference ``training_step``
+(projects/TemporalStereo/TemporalStereo.py:130-168): multi-scale smooth-L1 on
+the disparity pyramid + Wasserstein distribution loss on (cost, offset,
+sample) triples; total = sum of every entry whose key contains 'loss'.
+
+Under ``jit`` with the batch sharded over the mesh's data axis, the scalar
+losses are global means — XLA inserts the cross-replica reductions, which IS
+the reference's DDP gradient all-reduce (SURVEY §2.10) with zero extra code.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigNode
+from ..data.evaluation import calc_error
+from ..losses import DispSmoothL1Loss, WassersteinDistanceLoss
+from ..models.stereo import TemporalStereoNet
+from ..models.temporal import multi_frame_forward
+from .state import TrainState
+
+
+def build_losses(cfg: ConfigNode):
+    l1 = DispSmoothL1Loss.from_config(cfg.MODEL.LOSSES.SMOOTH_L1_LOSS)
+    wars = WassersteinDistanceLoss.from_config(
+        cfg.MODEL.LOSSES.WARSSERSTEIN_DISTANCE_LOSS)
+    return l1, wars
+
+
+def compute_losses(outputs: Dict[str, Any], disp_gt: jnp.ndarray,
+                   l1_loss: DispSmoothL1Loss,
+                   wars_loss: WassersteinDistanceLoss
+                   ) -> Dict[str, jnp.ndarray]:
+    losses = dict(l1_loss(outputs["disps"], disp_gt))
+    losses.update(wars_loss(outputs["costs"], outputs["offsets"],
+                            outputs["disp_samples"], disp_gt))
+    losses["loss"] = sum(v for k, v in losses.items() if "loss" in k)
+    return losses
+
+
+def make_train_step(model: TemporalStereoNet, cfg: ConfigNode,
+                    swa_start_step: int = -1):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: time-major pytree (see models/temporal.py) with 'disp_gt'
+    [T, B, H, W, 1].
+    """
+    l1_loss, wars_loss = build_losses(cfg)
+    previous_with_gradient = cfg.MODEL.get("PREVIOUS_WITH_GRADIENT", False)
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, new_vars, _ = multi_frame_forward(
+            model, variables, batch, train=True,
+            previous_with_gradient=previous_with_gradient,
+            mutable=("batch_stats",))
+        losses = compute_losses(outputs, batch["disp_gt"][-1],
+                                l1_loss, wars_loss)
+        return losses["loss"], (losses, new_vars["batch_stats"])
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
+        swa_active = (jnp.asarray(swa_start_step >= 0)
+                      & (state.step >= swa_start_step))
+        state = state.apply_gradients(grads, new_batch_stats=new_stats,
+                                      swa_active=swa_active)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
+    """Returns eval_step(variables, batch) -> metrics dict.
+
+    Mirrors validation_step (:170-193): all disparity outputs already at full
+    resolution; EPE + outlier metrics per EVAL_DISPARITY_IDS.
+    """
+    lb = cfg.VAL.get("LOWERBOUND", 0)
+    ub = cfg.VAL.get("UPPERBOUND", 192)
+    eval_ids = list(cfg.VAL.get("EVAL_DISPARITY_IDS", [0]))
+
+    def eval_step(variables, batch) -> Dict[str, jnp.ndarray]:
+        outputs, _, _ = multi_frame_forward(model, variables, batch,
+                                            train=False)
+        gt = batch["disp_gt"][-1]
+        metrics = {}
+        disps = outputs["disps"]
+        for i in eval_ids:
+            if i >= len(disps):
+                continue
+            err = calc_error(disps[i], gt, lb=lb, ub=ub)
+            for k, v in err.items():
+                metrics[f"metric_disparity_{i}/all_{k}"] = v
+        return metrics
+
+    return eval_step

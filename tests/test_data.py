@@ -1,0 +1,141 @@
+"""Data-layer tests on a synthetic on-disk dataset (annfile format parity
+with the reference splits)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from temporalstereo_tpu.config import get_default_config
+from temporalstereo_tpu.data import build_dataloader, build_stereo_dataset
+from temporalstereo_tpu.data.formats import (
+    load_kitti_disp,
+    load_pfm,
+    load_pose_file,
+    write_kitti_disp,
+    write_pfm,
+)
+
+
+@pytest.fixture(scope="module")
+def fake_sceneflow(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sceneflow")
+    h, w = 64, 96
+    rng = np.random.RandomState(0)
+    items = []
+    poses = []
+    for t in range(3):
+        T = np.eye(4)
+        T[2, 3] = -0.1 * t
+        poses.append(T[:3, :].reshape(-1))
+    np.savetxt(root / "poses.txt", np.stack(poses))
+    for idx in range(4):
+        item = {"extrinsic_path": "poses.txt"}
+        for t, fi in enumerate([-1, 0]):
+            lp = f"img_L_{idx}_{t}.png"
+            rp = f"img_R_{idx}_{t}.png"
+            dp = f"disp_{idx}_{t}.pfm"
+            Image.fromarray(
+                (rng.rand(h, w, 3) * 255).astype(np.uint8)).save(root / lp)
+            Image.fromarray(
+                (rng.rand(h, w, 3) * 255).astype(np.uint8)).save(root / rp)
+            write_pfm(str(root / dp),
+                      rng.uniform(1, 30, (h, w)).astype(np.float32))
+            item[str(fi)] = {
+                "left_image_path": lp,
+                "right_image_path": rp,
+                "left_disp_path": dp,
+            }
+        items.append(item)
+    annfile = root / "train.json"
+    annfile.write_text(json.dumps(items))
+    return str(root), str(annfile), (h, w)
+
+
+def test_pfm_roundtrip(tmp_path, rng):
+    arr = rng.rand(16, 24).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    write_pfm(p, arr)
+    back, scale = load_pfm(p)
+    np.testing.assert_allclose(back, arr, rtol=1e-6)
+
+
+def test_kitti_disp_roundtrip(tmp_path, rng):
+    disp = (rng.rand(16, 24) * 100).astype(np.float32)
+    p = str(tmp_path / "d.png")
+    write_kitti_disp(p, disp)
+    back = load_kitti_disp(p)
+    np.testing.assert_allclose(back, disp, atol=1 / 256)
+
+
+def test_pose_file_roundtrip(tmp_path):
+    T = np.eye(4)
+    T[0, 3] = 1.5
+    np.savetxt(tmp_path / "p.txt", [T[:3].reshape(-1)])
+    poses = load_pose_file(str(tmp_path / "p.txt"), invert=True)
+    np.testing.assert_allclose(poses[0], np.linalg.inv(T), atol=1e-6)
+
+
+def _data_node(root, annfile, h, w, frame_idxs):
+    cfg = get_default_config()
+    node = cfg.DATA.TRAIN
+    node.DATA_ROOT = root
+    node.ANNFILE = annfile
+    node.TYPE = "SceneFlow"
+    node.HEIGHT = h
+    node.WIDTH = w
+    node.FRAME_IDXS = frame_idxs
+    node.BATCH_SIZE = 2
+    node.NUM_WORKERS = 2
+    return node
+
+
+def test_dataset_sample_shapes(fake_sceneflow):
+    root, annfile, (h, w) = fake_sceneflow
+    node = _data_node(root, annfile, 32, 64, [-1, 0])
+    ds = build_stereo_dataset(node, "train")
+    s = ds[0]
+    assert s["left"].shape == (2, 32, 64, 3)
+    assert s["disp_gt"].shape == (2, 32, 64, 1)
+    assert s["T_cam"].shape == (2, 4, 4)
+    assert s["K"].shape == (3, 3)
+    assert np.isfinite(s["left"]).all()
+
+
+def test_dataloader_batches_time_major(fake_sceneflow):
+    root, annfile, (h, w) = fake_sceneflow
+    node = _data_node(root, annfile, 32, 64, [-1, 0])
+    loader = build_dataloader(node, "train")
+    batch = next(iter(loader))
+    assert batch["left"].shape == (2, 2, 32, 64, 3)      # [T, B, H, W, 3]
+    assert batch["disp_gt"].shape == (2, 2, 32, 64, 1)
+    assert batch["T_cam"].shape == (2, 2, 4, 4)
+    assert batch["K"].shape == (2, 3, 3)                 # [B, 3, 3]
+    assert batch["baseline"].shape == (2,)
+    assert len(loader) == 2
+
+
+def test_dataloader_sharding(fake_sceneflow):
+    root, annfile, _ = fake_sceneflow
+    node = _data_node(root, annfile, 32, 64, [0])
+    node.BATCH_SIZE = 1
+    seen = []
+    for shard in range(2):
+        loader = build_dataloader(node, "val", num_shards=2,
+                                  shard_index=shard)
+        for b in loader:
+            seen.append(b["left"].sum())
+    assert len(seen) == 4  # disjoint halves cover the dataset
+    assert len(set(float(s) for s in seen)) == 4
+
+
+def test_eval_resize_scales_K_and_disp(fake_sceneflow):
+    root, annfile, (h, w) = fake_sceneflow
+    node = _data_node(root, annfile, h // 2, w // 2, [0])
+    ds = build_stereo_dataset(node, "val")
+    s = ds[0]
+    assert s["left"].shape == (1, h // 2, w // 2, 3)
+    # fx scaled by 0.5
+    full_fx = 1050.0 / 960 * w
+    assert abs(s["K"][0, 0] - full_fx * 0.5) < 1e-3
