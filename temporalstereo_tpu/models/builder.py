@@ -39,6 +39,14 @@ def build_model(cfg: ConfigNode, dtype=None) -> TemporalStereoNet:
         "norm": m.BACKBONE.get("NORM", "BN"),
         "activation": m.BACKBONE.get("ACTIVATION", "SiLU"),
     }
+    variant = m.BACKBONE.get("VARIANT", "v2s")
+    if variant == "tiny":
+        from .backbone import TINY_GROUPS
+
+        backbone_cfg["groups"] = TINY_GROUPS
+        backbone_cfg["out_channels"] = (0, 64, 128, 256, 96)
+    elif variant != "v2s":
+        raise ValueError(f"unknown backbone variant {variant!r}")
     if dtype is None:
         precision = cfg.TRAINER.get("PRECISION", "f32")
         dtype = jnp.bfloat16 if str(precision) in ("bf16", "16") else None

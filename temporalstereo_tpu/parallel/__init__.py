@@ -1,5 +1,6 @@
 from .mesh import (
     batch_sharding,
+    make_data_mesh,
     make_mesh,
     make_sharded_eval_step,
     make_sharded_train_step,

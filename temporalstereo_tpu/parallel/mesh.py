@@ -34,6 +34,18 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_data_mesh(global_batch: int,
+                   devices: Optional[Sequence[jax.Device]] = None,
+                   axis_name: str = "data") -> Mesh:
+    """Mesh over the largest device count that divides the global batch
+    (keeps per-replica batches integral)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    return Mesh(np.array(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, key: str) -> NamedSharding:
     axis = mesh.axis_names[0]
     if key in TIME_MAJOR_KEYS:

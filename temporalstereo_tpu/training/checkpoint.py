@@ -1,0 +1,132 @@
+"""Checkpoint save/restore (orbax) + weights-only warm start.
+
+Re-design of the reference checkpointing (SURVEY §5.4): Lightning
+ModelCheckpoint every N steps/epochs with keep-all (dist_train.py:59-66),
+full-trainer resume (RESUME_FROM_CHECKPOINT, :88) vs weights-only
+``load_state_dict(strict=False)`` warm start (:70-73) — the strict=False
+matters because temporal fine-tunes load single-frame checkpoints whose
+param tree is a subset.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = -1):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=None if keep is None or keep < 0 else keep,
+            create=True)
+        self.mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: TrainState,
+             extra: Optional[Dict[str, Any]] = None) -> None:
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.swa_params is not None:
+            payload["swa_params"] = state.swa_params
+            payload["swa_count"] = state.swa_count
+        if extra:
+            payload["extra"] = extra
+        self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None
+                ) -> TrainState:
+        """Full-trainer resume (params + optimizer + step)."""
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.swa_params is not None:
+            template["swa_params"] = state.swa_params
+            template["swa_count"] = state.swa_count
+        restored = self.mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            swa_params=restored.get("swa_params", state.swa_params),
+            swa_count=restored.get("swa_count", state.swa_count),
+        )
+
+
+def save_weights(path: str, params, batch_stats=None) -> None:
+    """Standalone weights file (msgpack via flax serialization)."""
+    from flax import serialization
+
+    payload = {"params": params}
+    if batch_stats is not None:
+        payload["batch_stats"] = batch_stats
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_weights(path: str) -> Dict[str, Any]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def warm_start(params, batch_stats, weights: Dict[str, Any],
+               strict: bool = False):
+    """Merge loaded weights into a fresh variable tree, keeping fresh values
+    where names/shapes don't match (the reference's strict=False semantics,
+    dist_train.py:70-73)."""
+    import numpy as np
+
+    loaded_p = weights.get("params", {})
+    loaded_b = weights.get("batch_stats", {})
+
+    matched = [0]
+
+    def merge(fresh, loaded):
+        if not isinstance(fresh, dict):
+            return fresh
+        out = {}
+        for k, v in fresh.items():
+            if k in loaded:
+                lv = loaded[k]
+                if isinstance(v, dict):
+                    out[k] = merge(v, lv)
+                elif hasattr(lv, "shape") and tuple(lv.shape) == tuple(v.shape):
+                    out[k] = jax.numpy.asarray(lv, dtype=v.dtype)
+                    matched[0] += 1
+                elif strict:
+                    raise ValueError(
+                        f"shape mismatch for {k}: {getattr(lv, 'shape', None)}"
+                        f" vs {v.shape}")
+                else:
+                    out[k] = v
+            elif strict:
+                raise KeyError(f"missing key {k} in loaded weights")
+            else:
+                out[k] = v
+        return out
+
+    new_params = merge(jax.tree.map(lambda x: x, params), loaded_p)
+    new_stats = merge(jax.tree.map(lambda x: x, batch_stats), loaded_b)
+    return new_params, new_stats, matched[0]

@@ -25,6 +25,7 @@ H, W = 32, 64
 
 def tiny_opts(temporal: bool):
     opts = [
+        "MODEL.BACKBONE.VARIANT", "tiny",
         "MODEL.AGGREGATION.COARSE.IN_PLANES", "256",
         "MODEL.AGGREGATION.COARSE.C", "8",
         "MODEL.AGGREGATION.FINE.C", "8",

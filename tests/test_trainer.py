@@ -1,0 +1,119 @@
+"""End-to-end Trainer test on a synthetic dataset (fast_dev_run).
+
+Covers: full config -> model -> data -> sharded train step -> validation ->
+checkpoint save/restore -> weights-only warm start (the reference's
+strict=False semantics, dist_train.py:70-73).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from temporalstereo_tpu.config import get_cfg
+from temporalstereo_tpu.data.formats import write_pfm
+from temporalstereo_tpu.training.checkpoint import (
+    load_weights,
+    save_weights,
+    warm_start,
+)
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sf")
+    h, w = 64, 96
+    rng = np.random.RandomState(0)
+    items = []
+    for idx in range(4):
+        item = {}
+        for fi in [-1, 0]:
+            lp, rp, dp = (f"L_{idx}_{fi}.png", f"R_{idx}_{fi}.png",
+                          f"D_{idx}_{fi}.pfm")
+            for pth in (lp, rp):
+                Image.fromarray((rng.rand(h, w, 3) * 255).astype(
+                    np.uint8)).save(root / pth)
+            write_pfm(str(root / dp),
+                      rng.uniform(1, 20, (h, w)).astype(np.float32))
+            item[str(fi)] = {"left_image_path": lp, "right_image_path": rp,
+                             "left_disp_path": dp}
+        items.append(item)
+    (root / "ann.json").write_text(json.dumps(items))
+    return str(root)
+
+
+def _cfg(root, tmpdir, temporal=False):
+    opts = [
+        "LOG_DIR", str(tmpdir),
+        "TRAINER.MAX_EPOCHS", "1",
+        "TRAINER.FAST_DEV_RUN", "True",
+        "TRAINER.PRECISION", "f32",
+        "TRAINER.SWA.ENABLED", "False",
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "VAL.EVAL_DISPARITY_IDS", "[0]",
+    ]
+    for phase in ("TRAIN", "VAL", "TEST"):
+        opts += [
+            f"DATA.{phase}.DATA_ROOT", root,
+            f"DATA.{phase}.ANNFILE", os.path.join(root, "ann.json"),
+            f"DATA.{phase}.TYPE", "SceneFlow",
+            f"DATA.{phase}.HEIGHT", "32",
+            f"DATA.{phase}.WIDTH", "64",
+            f"DATA.{phase}.BATCH_SIZE", "2",
+            f"DATA.{phase}.NUM_WORKERS", "2",
+            f"DATA.{phase}.FRAME_IDXS", "[-1, 0]" if temporal else "[0]",
+        ]
+    if temporal:
+        opts += ["MODEL.WITH_PREVIOUS", "True", "MODEL.USE_PAST_COST", "True",
+                 "MODEL.LOCAL_MAP_SIZE", "3",
+                 "MODEL.BACKBONE.MEMORY_PERCENT", "0.5",
+                 "FRAME_IDXS", "[-1, 0]"]
+    return get_cfg(opts=opts)
+
+
+def test_trainer_fast_dev_run(fake_root, tmp_path):
+    from temporalstereo_tpu.training.trainer import Trainer
+
+    cfg = _cfg(fake_root, tmp_path)
+    trainer = Trainer(cfg)
+    trainer.fit()
+    assert int(trainer.state.step) >= 1
+    metrics = trainer.validate(0)
+    assert any("epe" in k for k in metrics)
+    # checkpoint roundtrip
+    latest = trainer.ckpt.latest_step()
+    assert latest is not None
+    restored = trainer.ckpt.restore(trainer.state.replace(
+        step=trainer.state.step * 0))
+    assert int(restored.step) == int(trainer.state.step)
+    trainer.metrics.close()
+
+
+def test_warm_start_partial(fake_root, tmp_path):
+    """Single-frame weights warm-start a temporal model (subset tree)."""
+    import jax.numpy as jnp
+
+    from temporalstereo_tpu.models import build_model
+
+    cfg_s = _cfg(fake_root, tmp_path)
+    cfg_t = _cfg(fake_root, tmp_path, temporal=True)
+    m_s = build_model(cfg_s, dtype=None)
+    m_t = build_model(cfg_t, dtype=None)
+    left = jnp.zeros((1, 32, 64, 3))
+    v_s = m_s.init({"params": jax.random.PRNGKey(0)}, left, left, None, False)
+    v_t = m_t.init({"params": jax.random.PRNGKey(1)}, left, left, None, False)
+
+    path = str(tmp_path / "w.msgpack")
+    save_weights(path, v_s["params"], v_s["batch_stats"])
+    weights = load_weights(path)
+    params, stats, n = warm_start(v_t["params"], v_t["batch_stats"], weights,
+                                  strict=False)
+    assert n > 100  # most tensors matched
+    # a matched leaf actually took the loaded value
+    lhs = jax.tree.leaves(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in lhs[:5])
