@@ -21,7 +21,18 @@ from PIL import Image
 # ------------------------------------------------------------------- PFM --
 
 def load_pfm(path: str) -> Tuple[np.ndarray, float]:
-    """Read a PFM file -> (array [H, W] or [H, W, 3], scale)."""
+    """Read a PFM file -> (array [H, W] or [H, W, 3], scale).
+
+    Uses the native decoder (native/tsnative.cpp) when available."""
+    from . import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            buf = f.read()
+        try:
+            return native.decode_pfm(buf)
+        except ValueError:
+            pass  # fall through to the python parser
     with open(path, "rb") as f:
         header = f.readline().decode("latin-1").rstrip()
         if header == "PF":

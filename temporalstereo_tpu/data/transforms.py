@@ -84,10 +84,18 @@ def right_occlusion_aug(right: np.ndarray, rng: np.random.RandomState,
 
 
 def resize_image(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """PIL bilinear resize of [H, W, C] float to (h, w)."""
+    """Bilinear resize of [H, W, C] float to (h, w).
+
+    Uses the native align-corners kernel (native/tsnative.cpp) when built —
+    bit-consistent with the model-side ops.resize_bilinear — with a PIL
+    fallback."""
     h, w = size
     if img.shape[:2] == (h, w):
         return img
+    from . import native
+
+    if native.available():
+        return native.resize_bilinear(img, size)
     chans = []
     for c in range(img.shape[2]):
         p = Image.fromarray(img[..., c])
@@ -101,6 +109,10 @@ def resize_disparity(disp: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     if disp.shape[:2] == (h, w):
         return disp
     scale = w / disp.shape[1]
+    from . import native
+
+    if native.available():
+        return native.resize_bilinear(disp, size) * scale
     p = Image.fromarray(disp)
     return (np.asarray(p.resize((w, h), Image.BILINEAR)) * scale
             ).astype(np.float32)

@@ -94,12 +94,10 @@ def upsample_disp(disp: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
 def avg_pool2d(x: jnp.ndarray, window: tuple[int, int],
                stride: tuple[int, int] | None = None,
                padding: tuple[int, int] = (0, 0)) -> jnp.ndarray:
-    """Average pool over NHWC (count_include_pad=True, torch default)."""
+    """Average pool over NHWC (count_include_pad=True, torch default).
+    Separable per-axis lowering (see _separable_pool3d)."""
     stride = stride or window
-    dims = (1, window[0], window[1], 1)
-    strides = (1, stride[0], stride[1], 1)
-    pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    summed = _separable_pool2d(x, window, stride, padding, 0.0, jax.lax.add)
     return summed / (window[0] * window[1])
 
 
@@ -107,22 +105,58 @@ def max_pool2d(x: jnp.ndarray, window: tuple[int, int],
                stride: tuple[int, int] | None = None,
                padding: tuple[int, int] = (0, 0)) -> jnp.ndarray:
     stride = stride or window
-    dims = (1, window[0], window[1], 1)
-    strides = (1, stride[0], stride[1], 1)
-    pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
+    return _separable_pool2d(x, window, stride, padding, -jnp.inf,
+                             jax.lax.max)
+
+
+def _separable_pool2d(x, window, stride, padding, init, op):
+    out = x
+    for axis, (k, s, p) in enumerate(zip(window, stride, padding), start=1):
+        if k == 1 and s == 1 and p == 0:
+            continue
+        dims = [1] * x.ndim
+        strides = [1] * x.ndim
+        pads = [(0, 0)] * x.ndim
+        dims[axis] = k
+        strides[axis] = s
+        pads[axis] = (p, p)
+        out = jax.lax.reduce_window(out, init, op, tuple(dims),
+                                    tuple(strides), tuple(pads))
+    return out
+
+
+def _separable_pool3d(x: jnp.ndarray, window, stride, padding, init, op,
+                      count_full: bool):
+    """Run a 3D pool as three 1D reduce_windows (one per axis).
+
+    TPU note: XLA lowers an overlapping k^3 reduce_window naively at
+    O(k^3) work per element; the separable form is O(3k) — ~8x faster for
+    the 5x5x5 stride-1 pools in PyramidFusion (module.py:416-417).
+    Mathematically identical for add/max since the window is a box.
+    """
+    out = x
+    for axis, (k, s, p) in enumerate(zip(window, stride, padding), start=1):
+        if k == 1 and s == 1 and p == 0:
+            continue
+        dims = [1] * x.ndim
+        strides = [1] * x.ndim
+        pads = [(0, 0)] * x.ndim
+        dims[axis] = k
+        strides[axis] = s
+        pads[axis] = (p, p)
+        out = jax.lax.reduce_window(out, init, op, tuple(dims),
+                                    tuple(strides), tuple(pads))
+    return out
 
 
 def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
                stride: tuple[int, int, int] | None = None,
                padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
     """Average pool over NDHWC (reference F.avg_pool3d, block_cost.py:68,
-    module.py:416)."""
+    module.py:416; count_include_pad=True semantics)."""
     stride = stride or window
-    dims = (1, *window, 1)
-    strides = (1, *stride, 1)
-    pads = ((0, 0), *(((p, p)) for p in padding), (0, 0))
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    summed = _separable_pool3d(x, window, stride, padding, 0.0, jax.lax.add,
+                               True)
     return summed / (window[0] * window[1] * window[2])
 
 
@@ -130,10 +164,8 @@ def max_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
                stride: tuple[int, int, int] | None = None,
                padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
     stride = stride or window
-    dims = (1, *window, 1)
-    strides = (1, *stride, 1)
-    pads = ((0, 0), *(((p, p)) for p in padding), (0, 0))
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
+    return _separable_pool3d(x, window, stride, padding, -jnp.inf,
+                             jax.lax.max, False)
 
 
 def adaptive_avg_pool2d(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:

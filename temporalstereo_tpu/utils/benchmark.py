@@ -1,0 +1,46 @@
+"""Microbenchmark harness.
+
+Re-design of reference ``architecture/utils/time_test_template.py``
+(timeTestTemplate :4-43): the CUDA-event timing template becomes a
+block_until_ready wall-clock loop with jit warmup — the same role the
+reference's op ``__main__`` benchmarks play (SURVEY §4.1), promoted to a
+first-class utility since frames/s/chip is the north-star metric.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+
+def time_test(fn: Callable, *args, iters: int = 100, warmup: int = 3,
+              jit: bool = True, **kwargs) -> float:
+    """Median seconds per call of ``fn(*args)`` on-device.
+
+    Each call blocks on its result: honest per-execution latency including
+    dispatch (pipelined timing over-reports on remote-tunnel runtimes that
+    coalesce identical executions)."""
+    f = jax.jit(fn, **kwargs) if jit else fn
+    out = None
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+# reference-compatible alias (time_test_template.py:4)
+timeTestTemplate = time_test
+
+
+def report(name: str, seconds: float) -> str:
+    msg = (f"{name} forward once takes {seconds * 1000:.4f}ms, "
+           f"i.e. {1.0 / seconds:.2f}fps")
+    print(msg, flush=True)
+    return msg
