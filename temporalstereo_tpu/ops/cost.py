@@ -19,6 +19,26 @@ from .warp import shift_1d
 CHANNELS_PER_GROUP = 8
 
 
+def _use_pallas() -> bool:
+    """Opt-in pallas kernels (TS_USE_PALLAS=1).
+
+    Default off: the XLA lowering already reaches ~40 fps at KITTI size on a
+    v5e, and this machine's remote-compile tunnel currently 500s on
+    Mosaic-in-model programs; the kernel itself passes parity tests and runs
+    standalone (ops/pallas/shift.py)."""
+    import os
+
+    return os.environ.get("TS_USE_PALLAS", "0") == "1"
+
+
+def _shift(img, disp, padding_mode="zeros"):
+    if _use_pallas():
+        from .pallas.shift import shift_1d_pallas
+
+        return shift_1d_pallas(img, disp)
+    return shift_1d(img, disp, padding_mode=padding_mode)
+
+
 def groupwise_correlation(fea1: jnp.ndarray, fea2: jnp.ndarray) -> jnp.ndarray:
     """Negative squared distance summed within channel groups of 8.
 
@@ -79,7 +99,7 @@ def block_cost(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
     else:
         d = disp_sample.shape[1]
         ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
-        tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
+        tgt = _shift(target_fm[:, None], -disp_sample)
         base = jnp.concatenate([ref, tgt], axis=-1)
 
     costs = [base]

@@ -97,6 +97,12 @@ def avg_pool2d(x: jnp.ndarray, window: tuple[int, int],
     """Average pool over NHWC (count_include_pad=True, torch default).
     Separable per-axis lowering (see _separable_pool3d)."""
     stride = stride or window
+    b, h, w, c = x.shape[-4], x.shape[-3], x.shape[-2], x.shape[-1]
+    if (tuple(stride) == tuple(window) and tuple(padding) == (0, 0)
+            and h % window[0] == 0 and w % window[1] == 0):
+        kh, kw = window
+        y = x.reshape(*x.shape[:-3], h // kh, kh, w // kw, kw, c)
+        return y.mean(axis=(-4, -2))
     summed = _separable_pool2d(x, window, stride, padding, 0.0, jax.lax.add)
     return summed / (window[0] * window[1])
 
@@ -153,8 +159,20 @@ def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
                stride: tuple[int, int, int] | None = None,
                padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
     """Average pool over NDHWC (reference F.avg_pool3d, block_cost.py:68,
-    module.py:416; count_include_pad=True semantics)."""
+    module.py:416; count_include_pad=True semantics).
+
+    Non-overlapping divisible pools (stride == window, no padding — the
+    block_cost pyramid case) lower to reshape+mean: a pure bandwidth-bound
+    fusion instead of XLA's reduce-window emitter, which picks pathological
+    layouts for 5-D operands (~20 GB/s observed)."""
     stride = stride or window
+    b, d, h, w, c = x.shape
+    if (stride == tuple(window) and padding == (0, 0, 0)
+            and d % window[0] == 0 and h % window[1] == 0
+            and w % window[2] == 0):
+        kd, kh, kw = window
+        y = x.reshape(b, d // kd, kd, h // kh, kh, w // kw, kw, c)
+        return y.mean(axis=(2, 4, 6))
     summed = _separable_pool3d(x, window, stride, padding, 0.0, jax.lax.add,
                                True)
     return summed / (window[0] * window[1] * window[2])

@@ -35,6 +35,42 @@ def time_test(fn: Callable, *args, iters: int = 100, warmup: int = 3,
     return times[len(times) // 2]
 
 
+def time_test_fused(fn: Callable, *args, reps: int = 32, iters: int = 5,
+                    warmup: int = 1) -> float:
+    """Median seconds per op execution with ``reps`` executions fused into one
+    dispatch (for microbenchmarks on remote-dispatch runtimes where per-call
+    latency swamps small kernels).
+
+    The op input is perturbed per repetition (loop-carried dependency), so
+    XLA cannot hoist or elide executions.
+    """
+    import jax.numpy as jnp
+
+    first = args[0]
+    rest = args[1:]
+
+    @jax.jit
+    def run(first, *rest):
+        def body(i, acc):
+            # loop-carried dependence without perturbing values: the select
+            # always takes `first`, but XLA cannot prove it
+            dep = jnp.where(acc > jnp.float32(1e30), first + 1, first)
+            out = fn(dep, *rest)
+            return acc + jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    for _ in range(warmup):
+        jax.block_until_ready(run(first, *rest))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(first, *rest))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    base = times[len(times) // 2]
+    return base / reps
+
+
 # reference-compatible alias (time_test_template.py:4)
 timeTestTemplate = time_test
 
