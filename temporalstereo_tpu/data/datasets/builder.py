@@ -9,7 +9,7 @@ from ...config import ConfigNode
 from ...utils.registry import DATASET_REGISTRY
 from ..loader import DataLoader
 # register datasets
-from . import kitti, scene_flow, tartanair, vkitti  # noqa: F401
+from . import extra_formats, kitti, scene_flow, tartanair, vkitti  # noqa: F401
 
 _TYPE_ALIASES = {
     "SceneFlow": "SceneFlow",
@@ -19,6 +19,8 @@ _TYPE_ALIASES = {
     "TARTANAIR": "TartanAir",
     "VKITTI2": "VKITTI2",
     "VKITTI": "VKITTI2",
+    "ETH3D": "ETH3D",
+    "DrivingStereo": "DrivingStereo",
 }
 
 
