@@ -184,6 +184,8 @@ class Trainer:
                      "batch_stats": self.state.batch_stats}
         sums = defaultdict(float)
         count = 0
+        vis_interval = max(self.cfg.VAL.get("VIS_INTERVAL", 8), 1)
+        vis_batch = epoch % max(len(self.val_loader) // vis_interval, 1)
         for batch_idx, batch in enumerate(self.val_loader):
             sharded = shard_batch(self.mesh, batch)
             metrics = self.eval_step(variables, sharded)
@@ -191,6 +193,8 @@ class Trainer:
             for k, v in metrics.items():
                 sums[k] += float(v)
             count += 1
+            if batch_idx == vis_batch:
+                self._log_images(variables, batch, epoch)
             if self.cfg.TRAINER.get("FAST_DEV_RUN", False) and batch_idx >= 1:
                 break
         means = {k: v / max(count, 1) for k, v in sums.items()}
@@ -200,3 +204,42 @@ class Trainer:
             self.writer.stdout(f"  {k}: {means[k]:.4f}")
         self.metrics.log_scalars(int(self.state.step), means, prefix="val/")
         return means
+
+    def _log_images(self, variables, batch, epoch: int) -> None:
+        """TensorBoard image dumps during validation: input, gt, predicted
+        disparity + error colorbar per scale, search-range maps (the
+        reference's log_image, TemporalStereo.py:488-622)."""
+        if not self.is_main:
+            return
+        try:
+            import numpy as np
+
+            from ..data.transforms import denormalize
+            from ..models.temporal import multi_frame_forward
+            from ..visualization import (disp_err_to_colorbar, disp_to_color)
+
+            jbatch = jax.tree.map(jnp.asarray, batch)
+            outputs, _, _ = multi_frame_forward(self.model, variables, jbatch,
+                                                train=False)
+            step = int(self.state.step)
+            left = denormalize(batch["left"][-1][0])
+            self.metrics.log_image(step, "val/color_0_l", left)
+            gt = batch["disp_gt"][-1][0, :, :, 0]
+            max_disp = float(gt.max()) if gt.max() > 0 else None
+            if max_disp:
+                self.metrics.log_image(step, "val/disparity_gt",
+                                       disp_to_color(gt, max_disp))
+            for i, d in enumerate(outputs["disps"]):
+                disp = np.asarray(d[0, :, :, 0])
+                self.metrics.log_image(step, f"val/disparity_{i}",
+                                       disp_to_color(disp, max_disp))
+                if max_disp:
+                    err = disp_err_to_colorbar(disp, gt, with_bar=True)
+                    self.metrics.log_image(step, f"val/disp_errorbar_{i}",
+                                           err)
+            for i, sr in enumerate(outputs.get("search_ranges", [])):
+                low = np.asarray(sr["low"][0, :, :, 0])
+                self.metrics.log_image(step, f"val/search_low_{i}",
+                                       disp_to_color(low, max_disp))
+        except Exception as e:  # visualization must never kill training
+            self.writer.stdout(f"WARNING: image logging failed: {e}")
