@@ -36,6 +36,10 @@ def _shift(img, disp, padding_mode="zeros"):
         from .pallas.shift import shift_1d_pallas
 
         return shift_1d_pallas(img, disp)
+    if jax.default_backend() == "tpu":
+        from .warp import shift_1d_matmul
+
+        return shift_1d_matmul(img, disp)
     return shift_1d(img, disp, padding_mode=padding_mode)
 
 

@@ -17,6 +17,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _topk_onehot(values: jnp.ndarray, payload: jnp.ndarray, k: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Branchless top-k over the (small) last axis via iterated masked max.
+
+    TPU note: ``lax.top_k`` lowers to a sort (~0.7 ms per call at KITTI
+    sizes even for D=5); for the model's D <= 32 hypothesis axes k masked
+    max/select passes are pure VPU work.  Ties resolve to the lowest index
+    (same as lax.top_k).  Returns (topk_values, topk_payload).
+    """
+    cur = values
+    vals, pays = [], []
+    for _ in range(k):
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        is_max = cur == m
+        # first occurrence of the max (lax.top_k tie-break)
+        first = jnp.cumsum(is_max.astype(jnp.int32), axis=-1) == 1
+        sel = is_max & first
+        vals.append(m[..., 0])
+        pays.append(jnp.sum(payload * sel.astype(payload.dtype), axis=-1))
+        cur = jnp.where(sel, -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(pays, axis=-1)
+
+
 def topk_soft_argmin(cost: jnp.ndarray, disp_sample: jnp.ndarray,
                      offset: jnp.ndarray, k: int = 2
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -26,9 +49,13 @@ def topk_soft_argmin(cost: jnp.ndarray, disp_sample: jnp.ndarray,
     Returns (disp [B,H,W,1], topk_disp [B,H,W,k], topk_cost [B,H,W,k]).
     Reference: predict_disp (coarse.py:69-75).
     """
-    topk_cost, indices = jax.lax.top_k(cost, k)
+    if cost.shape[-1] <= 32:
+        topk_cost, topk_disp = _topk_onehot(cost, disp_sample + offset, k)
+    else:
+        topk_cost, indices = jax.lax.top_k(cost, k)
+        topk_disp = jnp.take_along_axis(disp_sample + offset, indices,
+                                        axis=-1)
     prob = jax.nn.softmax(topk_cost, axis=-1)
-    topk_disp = jnp.take_along_axis(disp_sample + offset, indices, axis=-1)
     disp = jnp.sum(prob * topk_disp, axis=-1, keepdims=True)
     return disp, topk_disp, topk_cost
 
@@ -57,12 +84,35 @@ def sort_samples_with_volume(disp_sample: jnp.ndarray, volume: jnp.ndarray
 
     disp_sample: [B, H, W, D]; volume: [B, D, H, W, C].
     Reference: the post-memory-concat re-sort (coarse.py:103-105).
+
+    TPU note: for the model's small D (<= 32) the sort is computed as
+    pairwise *ranks* (D^2 VPU comparisons) and the permutation applied as a
+    one-hot einsum — no XLA sort, no gather (both are slow TPU lowerings).
     """
-    order = jnp.argsort(disp_sample, axis=-1)                 # [B, H, W, D]
-    sorted_sample = jnp.take_along_axis(disp_sample, order, axis=-1)
-    # [B, H, W, D] -> [B, D, H, W, 1] gather layout for the volume
-    order_v = order.transpose(0, 3, 1, 2)[..., None]
-    sorted_volume = jnp.take_along_axis(volume, order_v, axis=1)
+    d = disp_sample.shape[-1]
+    if d > 32:
+        order = jnp.argsort(disp_sample, axis=-1)             # [B, H, W, D]
+        sorted_sample = jnp.take_along_axis(disp_sample, order, axis=-1)
+        order_v = order.transpose(0, 3, 1, 2)[..., None]
+        sorted_volume = jnp.take_along_axis(volume, order_v, axis=1)
+        return sorted_sample, sorted_volume
+
+    x = disp_sample
+    xi = x[..., :, None]                                      # [B,H,W,D,1]
+    xj = x[..., None, :]                                      # [B,H,W,1,D]
+    less = (xj < xi).astype(jnp.int32)
+    # stable rank: ties broken by original index (argsort semantics)
+    tie = ((xj == xi)
+           & (jax.lax.broadcasted_iota(jnp.int32, less.shape, x.ndim)
+              < jax.lax.broadcasted_iota(jnp.int32, less.shape, x.ndim - 1))
+           ).astype(jnp.int32)
+    rank = (less + tie).sum(axis=-1)                          # [B,H,W,D]
+    out_pos = jax.lax.broadcasted_iota(jnp.int32, (*x.shape, d), x.ndim)
+    onehot = (rank[..., :, None] == out_pos).astype(volume.dtype)
+    # sorted[o] = sum_i onehot[i, o] * value[i]
+    sorted_sample = jnp.einsum("...io,...i->...o", onehot,
+                               x.astype(volume.dtype)).astype(x.dtype)
+    sorted_volume = jnp.einsum("bhwio,bihwc->bohwc", onehot, volume)
     return sorted_sample, sorted_volume
 
 
