@@ -131,18 +131,38 @@ def _separable_pool2d(x, window, stride, padding, init, op):
     return out
 
 
+def _shift_add_pool_axis(x: jnp.ndarray, axis: int, k: int, p: int,
+                         init, op) -> jnp.ndarray:
+    """Stride-1 1D box pool along ``axis`` as k static shifted slices
+    combined elementwise — XLA fuses this into one bandwidth-bound loop
+    (reduce_window picks pathological layouts for 5-D/6-D operands)."""
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (p, p)
+    padded = jnp.pad(x, pads, constant_values=init)
+    n = x.shape[axis]
+    out = None
+    for i in range(k):
+        sl = jax.lax.slice_in_dim(padded, i, i + n, axis=axis)
+        out = sl if out is None else op(out, sl)
+    return out
+
+
 def _separable_pool3d(x: jnp.ndarray, window, stride, padding, init, op,
                       count_full: bool):
-    """Run a 3D pool as three 1D reduce_windows (one per axis).
+    """Run a 3D pool as per-axis 1D passes.
 
     TPU note: XLA lowers an overlapping k^3 reduce_window naively at
-    O(k^3) work per element; the separable form is O(3k) — ~8x faster for
-    the 5x5x5 stride-1 pools in PyramidFusion (module.py:416-417).
-    Mathematically identical for add/max since the window is a box.
+    O(k^3) work per element; the separable form is O(3k).  Stride-1 axes
+    use the shift-add formulation (pure elementwise fusion); strided axes
+    fall back to a 1D reduce_window.  Mathematically identical for add/max
+    since the window is a box.
     """
     out = x
     for axis, (k, s, p) in enumerate(zip(window, stride, padding), start=1):
         if k == 1 and s == 1 and p == 0:
+            continue
+        if s == 1:
+            out = _shift_add_pool_axis(out, axis, k, p, init, op)
             continue
         dims = [1] * x.ndim
         strides = [1] * x.ndim
@@ -167,11 +187,12 @@ def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
     layouts for 5-D operands (~20 GB/s observed)."""
     stride = stride or window
     b, d, h, w, c = x.shape
-    if (stride == tuple(window) and padding == (0, 0, 0)
-            and d % window[0] == 0 and h % window[1] == 0
-            and w % window[2] == 0):
+    if tuple(stride) == tuple(window) and padding == (0, 0, 0):
+        # torch floor semantics: truncate the remainder, then reshape-mean
         kd, kh, kw = window
-        y = x.reshape(b, d // kd, kd, h // kh, kh, w // kw, kw, c)
+        dt, ht, wt = (d // kd) * kd, (h // kh) * kh, (w // kw) * kw
+        y = x[:, :dt, :ht, :wt, :]
+        y = y.reshape(b, dt // kd, kd, ht // kh, kh, wt // kw, kw, c)
         return y.mean(axis=(2, 4, 6))
     summed = _separable_pool3d(x, window, stride, padding, 0.0, jax.lax.add,
                                True)

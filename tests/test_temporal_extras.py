@@ -1,0 +1,101 @@
+"""Extra temporal-path tests: gradient-through-time mode, SWA, streaming."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from temporalstereo_tpu.config import get_cfg
+from temporalstereo_tpu.models import (
+    backbone_memory_shapes,
+    build_model,
+    init_prev_info,
+)
+from temporalstereo_tpu.models.temporal import (
+    chained_poses,
+    multi_frame_forward,
+    streaming_step,
+)
+from temporalstereo_tpu.training import TrainState, build_optimizer, make_train_step
+
+from tests.test_model_training import H, W, make_batch, tiny_opts
+
+
+@pytest.fixture(scope="module")
+def temporal_setup():
+    opts = tiny_opts(temporal=True)
+    cfg = get_cfg(opts=opts)
+    model = build_model(cfg, dtype=None)
+    batch = make_batch(np.random.RandomState(0), 2, 1)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(batch["left"][0]),
+                           jnp.asarray(batch["right"][0]), None, False)
+    return cfg, model, variables
+
+
+def test_chained_poses():
+    t = np.tile(np.eye(4, dtype=np.float32), (3, 2, 1, 1))
+    t[1, :, 0, 3] = 1.0
+    t[2, :, 0, 3] = 3.0
+    rel = np.asarray(chained_poses(jnp.asarray(t),
+                                   jnp.asarray(np.linalg.inv(t))))
+    np.testing.assert_allclose(
+        rel[0], np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)), atol=1e-6)
+    np.testing.assert_allclose(rel[1][:, 0, 3], 1.0, atol=1e-5)
+    np.testing.assert_allclose(rel[2][:, 0, 3], 2.0, atol=1e-5)
+
+
+def test_previous_with_gradient_unrolled(temporal_setup):
+    cfg, model, variables = temporal_setup
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.RandomState(1), 2, 1))
+    out, _, prev = multi_frame_forward(model, variables, batch, train=False,
+                                       previous_with_gradient=True)
+    assert len(out["disps"]) == 4
+    assert bool(prev.has_memory)
+
+    # gradients flow through past frames in this mode
+    def loss(params):
+        o, _, _ = multi_frame_forward(
+            model, {**variables, "params": params}, batch, train=False,
+            previous_with_gradient=True)
+        return jnp.mean(o["disps"][0] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_streaming_step_carries_state(temporal_setup):
+    cfg, model, variables = temporal_setup
+    batch = make_batch(np.random.RandomState(2), 1, 1)
+    mem_shapes = backbone_memory_shapes(model.backbone_cfg, (H, W))
+    prev = init_prev_info(model, 1, (H, W), mem_shapes, topk=2)
+    K = jnp.asarray(batch["K"])
+    baseline = jnp.asarray(batch["baseline"])
+    T = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)))
+    left = jnp.asarray(batch["left"][0])
+    right = jnp.asarray(batch["right"][0])
+    out1, prev = streaming_step(model, variables, left, right, prev, K,
+                                baseline, T)
+    assert not bool(prev.local_map_valid)  # first frame: no warp yet
+    out2, prev = streaming_step(model, variables, left, right, prev, K,
+                                baseline, T)
+    assert bool(prev.local_map_valid)
+    assert np.isfinite(np.asarray(out2["disps"][0])).all()
+
+
+def test_swa_accumulation(temporal_setup):
+    cfg, model, variables = temporal_setup
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx, with_swa=True)
+    step = jax.jit(make_train_step(model, cfg, swa_start_step=1))
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.RandomState(3), 2, 1))
+    state, _ = step(state, batch)   # step 1: swa not yet active (step>=1 after)
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+    assert int(state.swa_count) >= 1
+    swa = state.swa_model_params()
+    # averaged params are finite and close to current params
+    for a, b in zip(jax.tree.leaves(swa), jax.tree.leaves(state.params)):
+        assert np.isfinite(np.asarray(a)).all()
