@@ -108,12 +108,22 @@ class TemporalStereoNet(nn.Module):
         }
 
         if prev is not None:
+            # geometry state stays f32: disparities up to MAX_DISP have a
+            # 1-px ULP in bf16, which would wreck the temporal hypotheses.
+            # Backbone activation memories keep the compute dtype.
             new_prev = PrevInfo(
                 memories=new_memories,
                 has_memory=jnp.ones((), jnp.bool_),
-                cost_memory=new_cost_memory,
-                prev_disp=jax.lax.stop_gradient(full_disp),
-                local_map=prev.local_map,
+                cost_memory=CostMemory(
+                    disp_sample=new_cost_memory.disp_sample.astype(
+                        jnp.float32),
+                    cost_volume=new_cost_memory.cost_volume.astype(
+                        jnp.float32),
+                    valid=new_cost_memory.valid,
+                ),
+                prev_disp=jax.lax.stop_gradient(full_disp).astype(
+                    jnp.float32),
+                local_map=prev.local_map.astype(jnp.float32),
                 local_map_valid=prev.local_map_valid,
             )
         else:
@@ -229,8 +239,14 @@ def update_prev_info(prev: PrevInfo, K: jnp.ndarray, baseline: jnp.ndarray,
 def init_prev_info(model: TemporalStereoNet, batch_size: int,
                    full_size: Tuple[int, int],
                    memory_shapes: Tuple[Tuple[int, ...], ...],
-                   topk: int, dtype=jnp.float32) -> PrevInfo:
-    """Zero-state PrevInfo with static shapes for the temporal scan."""
+                   topk: int, dtype=None) -> PrevInfo:
+    """Zero-state PrevInfo with static shapes for the temporal scan.
+
+    ``dtype`` is the activation/compute dtype (backbone memories); the
+    geometry state (disparities, cost memory, local map) is always f32 —
+    bf16's 1-px ULP at MAX_DISP would corrupt temporal hypotheses.
+    """
+    dtype = dtype or model.dtype or jnp.float32
     full_h, full_w = full_size
     h8, w8 = full_h // 8, full_w // 8
     # memories live on the concatenated [left; right] batch (2B) — the trunk
@@ -240,10 +256,10 @@ def init_prev_info(model: TemporalStereoNet, batch_size: int,
     return PrevInfo(
         memories=memories,
         has_memory=jnp.zeros((), jnp.bool_),
-        cost_memory=CostMemory.zeros(batch_size, h8, w8, topk, dtype),
-        prev_disp=jnp.zeros((batch_size, full_h, full_w, 1), dtype),
+        cost_memory=CostMemory.zeros(batch_size, h8, w8, topk, jnp.float32),
+        prev_disp=jnp.zeros((batch_size, full_h, full_w, 1), jnp.float32),
         local_map=jnp.zeros(
-            (batch_size, h8, w8, max(model.local_map_size, 1)), dtype),
+            (batch_size, h8, w8, max(model.local_map_size, 1)), jnp.float32),
         local_map_valid=jnp.zeros((), jnp.bool_),
     )
 

@@ -79,7 +79,9 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, full_size)
     topk = model.precise_cfg.get("topk", 2)
-    dtype = left.dtype
+    # carried state takes the model's compute dtype (bf16 under the mixed-
+    # precision policy) so the scan carry is type-stable
+    dtype = model.dtype or left.dtype
     prev0 = init_prev_info(model, b, full_size, mem_shapes, topk, dtype)
 
     if previous_with_gradient:
