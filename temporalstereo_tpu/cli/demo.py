@@ -47,6 +47,11 @@ def main() -> None:
     variables = jax.jit(lambda r: model.init(
         {"params": r}, dummy, dummy, None, False))(jax.random.PRNGKey(0))
     if args.checkpoint:
+        import os as _os
+
+        if not _os.path.exists(args.checkpoint):
+            raise SystemExit(
+                f"error: checkpoint not found: {args.checkpoint}")
         weights = load_weights(args.checkpoint)
         params, stats, n = warm_start(variables["params"],
                                       variables.get("batch_stats", {}),
