@@ -18,7 +18,7 @@ def build_schedule(cfg: ConfigNode, base_lr: float,
                    steps_per_epoch: int) -> Callable:
     """Epoch-milestone schedules mapped onto step counts."""
     kind = cfg.SCHEDULER.get("TYPE", "None")
-    if kind == "None":
+    if kind is None or kind == "None":
         return optax.constant_schedule(base_lr)
     if kind == "StepLR":
         size = cfg.SCHEDULER.STEP_LR.STEP_SIZE * steps_per_epoch

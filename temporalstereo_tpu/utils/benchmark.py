@@ -51,20 +51,26 @@ def time_test_fused(fn: Callable, *args, reps: int = 32, iters: int = 5,
 
     @jax.jit
     def run(first, *rest):
-        def body(i, acc):
-            # loop-carried dependence without perturbing values: the select
-            # always takes `first`, but XLA cannot prove it
-            dep = jnp.where(acc > jnp.float32(1e30), first + 1, first)
-            out = fn(dep, *rest)
-            return acc + jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-20
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        def body(i, carry):
+            acc, x = carry
+            out = fn(x, *rest)
+            # loop-carried dependence: next input depends on this output
+            # (value change is below f32 resolution, but XLA cannot elide
+            # the ordering since the scalar is runtime-computed)
+            s = jnp.max(jnp.abs(out.astype(jnp.float32))) * jnp.float32(1e-20)
+            return acc + s, x + s.astype(x.dtype)
+        acc, _ = jax.lax.fori_loop(0, reps, body,
+                                   (jnp.float32(0.0), first))
+        return acc
 
     for _ in range(warmup):
         jax.block_until_ready(run(first, *rest))
     times = []
-    for _ in range(iters):
+    # distinct outer inputs per timed call: remote runtimes memoize
+    # identical (executable, args) executions
+    for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(first, *rest))
+        jax.block_until_ready(run(first + jnp.float32(i) * 1e-6, *rest))
         times.append(time.perf_counter() - t0)
     times.sort()
     base = times[len(times) // 2]
