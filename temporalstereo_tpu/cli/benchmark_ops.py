@@ -29,22 +29,16 @@ from ..ops import (  # noqa: E402
     softsplat,
 )
 from ..ops.correlation import correlation2d  # noqa: E402
-from ..utils.benchmark import report, time_test_fused  # noqa: E402
+from ..utils.benchmark import report, time_test_device  # noqa: E402
 
 
 def main() -> None:
     rng = np.random.RandomState(0)
     results = {}
 
-    # per-op timing amortizes dispatch over in-graph repetitions and
-    # subtracts the measured dispatch floor
-    def t(fn, *args, reps=128):
-        raw = time_test_fused(fn, *args, reps=reps)
-        return max(raw - overhead, 1e-7)
-
-    overhead = 0.0
-    overhead = time_test_fused(lambda x: x * 1.000001,
-                               jnp.ones((8, 128)), reps=128)
+    # profiler-derived on-device time per execution (see time_test_device)
+    def t(fn, *args):
+        return time_test_device(fn, *args)
 
     # KITTI sizes (reference block_cost.py:99-100)
     h16, w16 = 384 // 16, 1248 // 16
@@ -64,15 +58,12 @@ def main() -> None:
     t_ = t(lambda l, r, d: block_cost(l, r, d), left, right, disp)
     results["block_cost_1_4"] = report("BLOCK_COST @1/4 C48 D4", t_)
 
-    # cat_fms dense 48 @1/4 (BASELINE 5.3421 ms)
-    disp48 = jnp.asarray(
-        np.broadcast_to(np.arange(48, dtype=np.float32)[None, :, None, None],
-                        (1, 48, h4, w4)).copy())
-    t_ = t(cat_fms, left, right, disp48)
+    # cat_fms dense 48 @1/4 (BASELINE 5.3421 ms) — int fast path
+    t_ = t(lambda l, r: cat_fms(l, r, 48), left, right)
     results["cat_fms_dense"] = report("CAT_FMS dense 48 @1/4", t_)
 
     # dif_fms dense (BASELINE 8.3691 ms)
-    t_ = t(dif_fms, left, right, disp48)
+    t_ = t(lambda l, r: dif_fms(l, r, 48), left, right)
     results["dif_fms_dense"] = report("DIF_FMS dense 48 @1/4", t_)
 
     # correlation2d patch 21 @1/16 (BASELINE 0.6607 ms)

@@ -123,34 +123,50 @@ def block_cost(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
 
 
 def cat_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
-            disp_sample: jnp.ndarray) -> jnp.ndarray:
-    """Concatenation cost volume over per-pixel disparity hypotheses.
+            disp_sample) -> jnp.ndarray:
+    """Concatenation cost volume over disparity hypotheses.
 
     Reference: cat_fms (cat_fms.py:5-36).
-    [B,H,W,C] x2 + [B,D,H,W] -> [B, D, H, W, 2C].
+    [B,H,W,C] x2 + ([B,D,H,W] tensor | int D) -> [B, D, H, W, 2C].
+
+    TPU note: an int ``disp_sample`` means dense integer disparities 0..D-1
+    and takes the static-shift path (pure slicing, bandwidth-bound); the
+    per-pixel tensor path needs a data-dependent gather (~100x slower on TPU
+    for dense ranges — prefer the int form when hypotheses are integers).
     """
     b, h, w, c = reference_fm.shape
-    d = disp_sample.shape[1]
+    if isinstance(disp_sample, int):
+        d = disp_sample
+        tgt = shift_right_features(target_fm, d)
+    else:
+        d = disp_sample.shape[1]
+        tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
     ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
-    tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
     return jnp.concatenate([ref, tgt], axis=-1)
 
 
 def dif_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
-            disp_sample: jnp.ndarray) -> jnp.ndarray:
+            disp_sample) -> jnp.ndarray:
     """Absolute-difference cost volume; out-of-view positions get max cost.
 
     Reference: dif_fms (dif_fms.py:5-44, out-of-view fill :36-41).
-    -> [B, D, H, W, C].
+    ([B,D,H,W] tensor | int D) -> [B, D, H, W, C]; int takes the static-shift
+    fast path (see cat_fms).
     """
     b, h, w, c = reference_fm.shape
-    d = disp_sample.shape[1]
+    if isinstance(disp_sample, int):
+        d = disp_sample
+        tgt = shift_right_features(target_fm, d)
+        sample = jax.lax.broadcasted_iota(reference_fm.dtype, (b, d, h, w), 1)
+    else:
+        d = disp_sample.shape[1]
+        tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
+        sample = disp_sample
     ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
-    tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
     cost = jnp.abs(ref - tgt)
 
-    xs = jax.lax.broadcasted_iota(disp_sample.dtype, (b, d, h, w), 3)
-    sample_x = xs - disp_sample
+    xs = jax.lax.broadcasted_iota(sample.dtype, (b, d, h, w), 3)
+    sample_x = xs - sample
     in_view = (sample_x >= 0) & (sample_x <= w - 1)
     max_cost = jnp.max(cost)
     return jnp.where(in_view[..., None], cost, max_cost)

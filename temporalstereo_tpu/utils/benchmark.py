@@ -86,3 +86,57 @@ def report(name: str, seconds: float) -> str:
            f"i.e. {1.0 / seconds:.2f}fps")
     print(msg, flush=True)
     return msg
+
+
+def time_test_device(fn: Callable, *args, iters: int = 8) -> float:
+    """Median on-device seconds per execution, measured from a profiler
+    trace (exact executable durations from the TPU timeline).
+
+    The only reliable microbenchmark on remote-dispatch runtimes: wall-clock
+    includes ~25 ms dispatch, pipelined timing is coalesced, and in-graph
+    repetition gets memoized — the trace records what the chip actually ran.
+    Inputs are perturbed per call to defeat server-side memoization.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import jax.numpy as jnp
+
+    def _bench_target(*a):
+        return fn(*a)
+
+    f = jax.jit(_bench_target)
+    jax.block_until_ready(f(*args))  # compile outside the trace
+
+    tmp = tempfile.mkdtemp(prefix="ts_bench_trace_")
+    try:
+        jax.profiler.start_trace(tmp)
+        for i in range(iters):
+            first = args[0] + jnp.asarray(i, args[0].dtype) * 1e-6
+            jax.block_until_ready(f(first, *args[1:]))
+        jax.profiler.stop_trace()
+
+        try:
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        except ImportError:  # pragma: no cover
+            from tensorflow.core.profiler.protobuf import xplane_pb2
+
+        files = glob.glob(f"{tmp}/plugins/profile/*/*.xplane.pb")
+        durations = []
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(files[0], "rb").read())
+        for p in xs.planes:
+            if "TPU" not in p.name:
+                continue
+            for line in p.lines:
+                for ev in line.events:
+                    md = p.event_metadata[ev.metadata_id]
+                    if md.name.startswith("jit__bench_target"):
+                        durations.append(ev.duration_ps / 1e12)
+        if not durations:
+            return float("nan")
+        durations.sort()
+        return durations[len(durations) // 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

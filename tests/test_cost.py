@@ -101,3 +101,20 @@ def test_cat_and_dif_fms(rng):
     np.testing.assert_allclose(dif[0, 0], np.abs(left - right)[0], atol=1e-5)
     # out-of-view column (x=0 at disp=1) takes the max cost
     assert np.allclose(dif[0, 1, :, 0, :], dif.max())
+
+
+def test_cat_dif_fms_int_fast_path(rng):
+    """int D must equal the tensor path with broadcast integer samples."""
+    left = rng.randn(1, 4, 10, 8).astype(np.float32)
+    right = rng.randn(1, 4, 10, 8).astype(np.float32)
+    disp = np.broadcast_to(
+        np.arange(3, dtype=np.float32)[None, :, None, None], (1, 3, 4, 10)
+    ).copy()
+    a = np.asarray(cat_fms(jnp.asarray(left), jnp.asarray(right), 3))
+    b = np.asarray(cat_fms(jnp.asarray(left), jnp.asarray(right),
+                           jnp.asarray(disp)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    a = np.asarray(dif_fms(jnp.asarray(left), jnp.asarray(right), 3))
+    b = np.asarray(dif_fms(jnp.asarray(left), jnp.asarray(right),
+                           jnp.asarray(disp)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

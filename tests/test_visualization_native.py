@@ -1,0 +1,82 @@
+"""Tests: colormaps, native C++ library bindings, debug helpers."""
+import numpy as np
+import pytest
+
+from temporalstereo_tpu.visualization import (
+    colormap,
+    disp_err_to_color,
+    disp_err_to_colorbar,
+    disp_to_color,
+    flow_to_color,
+)
+
+
+def test_disp_to_color_shape_and_range(rng):
+    disp = rng.uniform(0, 80, size=(12, 20)).astype(np.float32)
+    img = disp_to_color(disp, max_disp=80)
+    assert img.shape == (12, 20, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # zero disparity maps to the first wheel color; larger disparities differ
+    assert not np.allclose(disp_to_color(np.zeros((4, 4))),
+                           disp_to_color(np.full((4, 4), 80.0), 80))
+
+
+def test_disp_err_to_color(rng):
+    gt = rng.uniform(5, 50, size=(8, 10)).astype(np.float32)
+    est = gt + rng.randn(8, 10).astype(np.float32)
+    img = disp_err_to_color(est, gt)
+    assert img.shape == (8, 10, 3)
+    bar = disp_err_to_colorbar(est, gt, with_bar=True)
+    assert bar.shape[0] > 8  # legend appended
+    # invalid gt pixels are blacked out
+    gt2 = gt.copy()
+    gt2[0, 0] = 0.0
+    img2 = disp_err_to_color(est, gt2)
+    assert np.allclose(img2[0, 0], 0.0)
+
+
+def test_flow_to_color(rng):
+    flow = rng.randn(6, 8, 2).astype(np.float32) * 3
+    img = flow_to_color(flow)
+    assert img.shape == (6, 8, 3)
+    assert np.isfinite(img).all()
+    # zero flow is near white
+    white = flow_to_color(np.zeros((4, 4, 2)), max_flow=1.0)
+    assert white.min() > 0.9
+
+
+def test_colormap_dispatcher(rng):
+    data = rng.rand(5, 7).astype(np.float32)
+    out = colormap(lambda d: np.stack([d, d, d], -1), data, normalize=True)
+    assert out.shape == (5, 7, 3)
+    chw = colormap(lambda d: np.stack([d, d, d], -1), data,
+                   output_format="CHW")
+    assert chw.shape == (3, 5, 7)
+
+
+def test_native_color_jitter_bindings():
+    """Exercise the remaining native entry points when the library builds."""
+    from temporalstereo_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lib = native._load()
+    import ctypes
+
+    img = np.random.RandomState(0).rand(6, 8, 3).astype(np.float32)
+    orig = img.copy()
+    lib.ts_color_jitter.restype = None
+    lib.ts_color_jitter.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_float,
+                                    ctypes.c_float, ctypes.c_float,
+                                    ctypes.c_float]
+    lib.ts_color_jitter(img.ctypes.data_as(ctypes.c_void_p), 6 * 8, 3,
+                        ctypes.c_float(1.1), ctypes.c_float(1.0),
+                        ctypes.c_float(1.0), ctypes.c_float(1.0))
+    assert not np.allclose(img, orig)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+    crop = np.empty((2, 3, 3), np.float32)
+    lib.ts_crop(orig.ctypes.data_as(ctypes.c_void_p), 6, 8, 3, 1, 2, 2, 3,
+                crop.ctypes.data_as(ctypes.c_void_p))
+    np.testing.assert_allclose(crop, orig[1:3, 2:5], atol=1e-7)
