@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# A sitecustomize module may have imported jax and registered a TPU PJRT
+# plugin before this conftest runs, in which case the env var alone is
+# ignored.  Force the platform through the runtime config too, before any
+# backend is initialized by test imports.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
