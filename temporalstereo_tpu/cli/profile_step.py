@@ -1,0 +1,140 @@
+"""Profile one forward / temporal-streaming step on the real chip and print
+the top ops by on-device time (from the XLA profiler trace).
+
+Usage:
+  python -m temporalstereo_tpu.cli.profile_step [--temporal] [--train]
+         [--height 384] [--width 1248] [--top 40]
+
+The reference has only a wall-clock microbenchmark template
+(architecture/utils/time_test_template.py); on TPU the profiler timeline is
+the ground truth (SURVEY.md §5.1), so this tool is first-class.
+"""
+import argparse
+import collections
+import glob
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def _trace_events(fn, args, iters=6):
+    """Run fn(*args) under the profiler; return [(op_name, total_s, count)]."""
+    f = jax.jit(fn)
+    jax.block_until_ready(f(*args))
+    tmp = tempfile.mkdtemp(prefix="ts_profile_")
+    try:
+        jax.profiler.start_trace(tmp)
+        for _ in range(iters):
+            jax.block_until_ready(f(*args))
+        jax.profiler.stop_trace()
+
+        try:
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        except ImportError:  # pragma: no cover
+            from tensorflow.core.profiler.protobuf import xplane_pb2
+
+        files = glob.glob(f"{tmp}/plugins/profile/*/*.xplane.pb")
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(files[0], "rb").read())
+        totals = collections.Counter()
+        counts = collections.Counter()
+        step_total = 0.0
+        for p in xs.planes:
+            if "TPU" not in p.name:
+                continue
+            for line in p.lines:
+                for ev in line.events:
+                    md = p.event_metadata[ev.metadata_id]
+                    name = md.name
+                    if name.startswith("jit_"):
+                        step_total += ev.duration_ps / 1e12
+                        continue
+                    totals[name] += ev.duration_ps / 1e12
+                    counts[name] += 1
+        return totals, counts, step_total / max(iters, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--temporal", action="store_true")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--width", type=int, default=1248)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args(argv)
+
+    from temporalstereo_tpu.config import get_cfg
+    from temporalstereo_tpu.models import (
+        backbone_memory_shapes, build_model, init_prev_info)
+    from temporalstereo_tpu.models.temporal import streaming_step
+
+    opts = ["TRAINER.PRECISION", "bf16"]
+    if args.temporal:
+        opts += ["MODEL.WITH_PREVIOUS", "True",
+                 "MODEL.USE_PAST_COST", "True",
+                 "MODEL.LOCAL_MAP_SIZE", "3",
+                 "MODEL.BACKBONE.MEMORY_PERCENT", "0.5"]
+    cfg = get_cfg(opts=opts)
+    model = build_model(cfg)
+
+    b, h, w = args.batch, args.height, args.width
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, left, right, None, False))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+
+    if args.temporal:
+        K = jnp.asarray(np.tile(
+            np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]],
+                     np.float32), (b, 1, 1)))
+        baseline = jnp.full((b,), 0.54, jnp.float32)
+        T_np = np.eye(4, dtype=np.float32)
+        T_np[0, 3] = 0.02
+        T_np[2, 3] = -0.5
+        T = jnp.asarray(np.tile(T_np, (b, 1, 1)))
+        mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
+        prev = init_prev_info(model, b, (h, w), mem_shapes,
+                              model.precise_cfg.get("topk", 2), model.dtype)
+        # run one step so the carried state is realistic (has_memory=True)
+        prev = jax.jit(lambda l, r, p: streaming_step(
+            model, variables, l, r, p, K, baseline, T)[1])(left, right, prev)
+        jax.block_until_ready(prev)
+
+        def step(left, right, prev):
+            outputs, new_prev = streaming_step(
+                model, variables, left, right, prev, K, baseline, T)
+            return outputs["disps"][0], new_prev
+        fn_args = (left, right, prev)
+    else:
+        def step(left, right):
+            outputs, _ = model.apply(variables, left, right, None, False)
+            return outputs["disps"][0]
+        fn_args = (left, right)
+
+    totals, counts, step_s = _trace_events(step, fn_args)
+    grand = sum(totals.values())
+    print(f"\nstep device time: {1e3 * grand / 6:.2f} ms "
+          f"(sum of op events / iters)")
+    print(f"{'op':<72} {'total ms':>9} {'count':>6} {'%':>6}")
+    for name, tot in totals.most_common(args.top):
+        print(f"{name[:72]:<72} {1e3 * tot / 6:9.3f} {counts[name] // 6:6d} "
+              f"{100 * tot / grand:6.1f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

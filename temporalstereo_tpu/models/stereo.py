@@ -158,55 +158,37 @@ def update_prev_info(prev: PrevInfo, K: jnp.ndarray, baseline: jnp.ndarray,
     the flax module, exactly between backbone and aggregation as in the
     reference forward (:292-293).
     """
+    if not use_past_cost and local_map_size <= 0:
+        return prev
+
     full_h, full_w = full_size
     bl = baseline.reshape(-1, 1, 1, 1).astype(prev.prev_disp.dtype)
 
-    def flow_and_project(prev_disp_full, h, w, stack=None):
-        factor = full_w / w
-        down_K = _downscale_K(K, factor)
-        down_inv_K = jnp.linalg.inv(down_K)
-        focal = down_K[:, 0, 0].reshape(-1, 1, 1, 1)
-
-        pd = resize_bilinear(prev_disp_full * (w / prev_disp_full.shape[2]),
-                             (h, w))
-        prev_depth = bl * focal / (pd + 1e-5)
-        out = project_to_3d(prev_depth, down_K, down_inv_K, T_past_to_now)
-        flow = out["optical_flow"][:, :, :, 0, :]          # [B, h, w, 2]
-
-        result = {"flow": flow, "prev_disp": pd, "focal": focal,
-                  "down_K": down_K, "down_inv_K": down_inv_K}
-        if stack is not None:
-            depth_stack = bl * focal / (stack + 1e-5)
-            outs = project_to_3d(depth_stack, down_K, down_inv_K,
-                                 T_past_to_now)
-            updated = bl * focal / (outs["triangular_depth"] + 1e-5)
-            result["updated_stack"] = updated
-        return result
-
-    new_cost_memory = prev.cost_memory
+    # Both carried states live at the same 1/8 grid and share the camera,
+    # rigid flow, and splat metric (both derive from prev_disp; the softmax
+    # splat normalizes per-pixel with the same weights) — so the whole update
+    # is ONE stacked reprojection and ONE fused splat, instead of the
+    # reference's two update_past_cost/update_local_map passes (:340-426).
     if use_past_cost:
         ms = jax.lax.stop_gradient(prev.cost_memory.disp_sample)
         mv = jax.lax.stop_gradient(prev.cost_memory.cost_volume)
         h, w = ms.shape[1:3]
-        proj = flow_and_project(prev.prev_disp, h, w, stack=ms)
-        sample_cost = jnp.concatenate([proj["updated_stack"], mv], axis=-1)
-        warped = softsplat(sample_cost, proj["flow"],
-                           _splat_metric(proj["prev_disp"][..., :1]),
-                           mode="softmax", method=splat_method)
         k = ms.shape[-1]
-        new_cost_memory = CostMemory(
-            disp_sample=jax.lax.stop_gradient(warped[..., :k]),
-            cost_volume=jax.lax.stop_gradient(warped[..., k:]),
-            valid=prev.cost_memory.valid,
-        )
+    else:
+        ms = mv = None
+        h, w = prev.local_map.shape[1:3]
+        k = 0
 
-    new_local_map = prev.local_map
-    new_local_valid = prev.local_map_valid
+    factor = full_w / w
+    down_K = _downscale_K(K, factor)
+    down_inv_K = jnp.linalg.inv(down_K)
+    focal = down_K[:, 0, 0].reshape(-1, 1, 1, 1)
+
+    pd = resize_bilinear(prev.prev_disp * (w / full_w), (h, w))
+
+    lm = None
     if local_map_size > 0:
         s = local_map_size
-        h, w = prev.local_map.shape[1:3]
-        proj = flow_and_project(prev.prev_disp, h, w)
-        pd = proj["prev_disp"]
         # ring update: newest disparity in channel 0 (reference :370-372);
         # before first fill, every channel takes the previous disparity
         stacked = jnp.concatenate(
@@ -214,16 +196,38 @@ def update_prev_info(prev: PrevInfo, K: jnp.ndarray, baseline: jnp.ndarray,
         filled = jnp.broadcast_to(pd, stacked.shape)
         lm = jnp.where(prev.local_map_valid, stacked, filled)
 
-        factor = full_w / w
-        down_K = _downscale_K(K, factor)
-        focal = down_K[:, 0, 0].reshape(-1, 1, 1, 1)
-        local_depth = bl * focal / (lm + 1e-5)
-        outs = project_to_3d(local_depth, down_K,
-                             jnp.linalg.inv(down_K), T_past_to_now)
-        updated_lm = bl * focal / (outs["triangular_depth"] + 1e-5)
-        warped_lm = softsplat(updated_lm, proj["flow"], _splat_metric(pd),
-                              mode="softmax", method=splat_method)
-        new_local_map = jax.lax.stop_gradient(warped_lm)
+    # channel 0 = pd itself: its reprojection yields the rigid flow, the rest
+    # of the stack rides along in the same project_to_3d call.
+    disp_stack = jnp.concatenate(
+        [pd] + ([ms] if ms is not None else [])
+        + ([lm] if lm is not None else []), axis=-1)
+    depth_stack = bl * focal / (disp_stack + 1e-5)
+    outs = project_to_3d(depth_stack, down_K, down_inv_K, T_past_to_now)
+    flow = outs["optical_flow"][:, :, :, 0, :]             # [B, h, w, 2]
+    updated = bl * focal / (outs["triangular_depth"] + 1e-5)
+
+    splat_in = []
+    if use_past_cost:
+        splat_in += [updated[..., 1:1 + k], mv]
+    if local_map_size > 0:
+        splat_in.append(updated[..., 1 + k:])
+    warped = softsplat(jnp.concatenate(splat_in, axis=-1), flow,
+                       _splat_metric(pd), mode="softmax",
+                       method=splat_method)
+    warped = jax.lax.stop_gradient(warped)
+
+    new_cost_memory = prev.cost_memory
+    if use_past_cost:
+        new_cost_memory = CostMemory(
+            disp_sample=warped[..., :k],
+            cost_volume=warped[..., k:2 * k],
+            valid=prev.cost_memory.valid,
+        )
+
+    new_local_map = prev.local_map
+    new_local_valid = prev.local_map_valid
+    if local_map_size > 0:
+        new_local_map = warped[..., 2 * k:]
         new_local_valid = jnp.ones((), jnp.bool_)
 
     return PrevInfo(

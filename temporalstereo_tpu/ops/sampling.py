@@ -26,14 +26,19 @@ def _topk_onehot(values: jnp.ndarray, payload: jnp.ndarray, k: int
     max/select passes are pure VPU work.  Ties resolve to the lowest index
     (same as lax.top_k).  Returns (topk_values, topk_payload).
     """
+    d = values.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)
     cur = values
     vals, pays = [], []
     for _ in range(k):
         m = jnp.max(cur, axis=-1, keepdims=True)
         is_max = cur == m
-        # first occurrence of the max (lax.top_k tie-break)
-        first = jnp.cumsum(is_max.astype(jnp.int32), axis=-1) == 1
-        sel = is_max & first
+        # first occurrence of the max (lax.top_k tie-break) via min-index
+        # reduce — NOT cumsum, whose reduce-window lowering costs ~2 ms at
+        # KITTI 1/8 sizes on TPU
+        first_idx = jnp.min(jnp.where(is_max, iota, d), axis=-1,
+                            keepdims=True)
+        sel = iota == first_idx
         vals.append(m[..., 0])
         pays.append(jnp.sum(payload * sel.astype(payload.dtype), axis=-1))
         cur = jnp.where(sel, -jnp.inf, cur)
