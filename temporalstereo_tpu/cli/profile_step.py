@@ -98,7 +98,39 @@ def main(argv=None):
         jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
 
-    if args.temporal:
+    if args.train:
+        from temporalstereo_tpu.training import (
+            TrainState, build_optimizer, make_train_step)
+
+        tx = build_optimizer(cfg, steps_per_epoch=1000)
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}), tx)
+        train_step = make_train_step(model, cfg)
+        t = 2 if args.temporal else 1
+        batch = {
+            "left": jnp.asarray(
+                rng.rand(t, b, h, w, 3), jnp.float32),
+            "right": jnp.asarray(
+                rng.rand(t, b, h, w, 3), jnp.float32),
+            "disp_gt": jnp.asarray(
+                20.0 * rng.rand(t, b, h, w, 1).astype(np.float32)),
+            "K": jnp.asarray(np.tile(
+                np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]],
+                         np.float32), (b, 1, 1))),
+            "baseline": jnp.full((b,), 0.54, jnp.float32),
+            "T_cam": jnp.asarray(
+                np.tile(np.eye(4, dtype=np.float32), (t, b, 1, 1))),
+            "inv_T": jnp.asarray(
+                np.tile(np.eye(4, dtype=np.float32), (t, b, 1, 1))),
+        }
+
+        def step(left, right):
+            new_state, metrics = train_step(state, {**batch,
+                                                    "left": left,
+                                                    "right": right})
+            return metrics["loss"], new_state.params
+        fn_args = (batch["left"], batch["right"])
+    elif args.temporal:
         K = jnp.asarray(np.tile(
             np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]],
                      np.float32), (b, 1, 1)))
