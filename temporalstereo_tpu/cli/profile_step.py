@@ -162,7 +162,24 @@ def main(argv=None):
     grand = sum(totals.values())
     print(f"\nstep device time: {1e3 * grand / 6:.2f} ms "
           f"(sum of op events / iters)")
-    print(f"{'op':<72} {'total ms':>9} {'count':>6} {'%':>6}")
+
+    cats = collections.Counter()
+    for name, tot in totals.items():
+        # "%opname.123 = type[...] opcode(..." -> group by opcode
+        cat = name.lstrip("%").split(".")[0].split(" ")[0]
+        m = name.split(" = ")
+        if len(m) == 2:
+            rhs = m[1]
+            p = rhs.find("(")
+            sp = rhs.rfind(" ", 0, p) if p > 0 else -1
+            if 0 <= sp < p:
+                cat = rhs[sp + 1:p]
+        cats[cat] += tot
+    print(f"\n{'category':<32} {'total ms':>9} {'%':>6}")
+    for cat, tot in cats.most_common(18):
+        print(f"{cat:<32} {1e3 * tot / 6:9.3f} {100 * tot / grand:6.1f}")
+
+    print(f"\n{'op':<72} {'total ms':>9} {'count':>6} {'%':>6}")
     for name, tot in totals.most_common(args.top):
         print(f"{name[:72]:<72} {1e3 * tot / 6:9.3f} {counts[name] // 6:6d} "
               f"{100 * tot / grand:6.1f}")

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ConfigNode
-from ..data.evaluation import calc_error
+from ..data.evaluation import calc_error, do_occlusion_evaluation
 from ..losses import DispSmoothL1Loss, WassersteinDistanceLoss
 from ..models.stereo import TemporalStereoNet
 from ..models.temporal import multi_frame_forward
@@ -91,11 +91,13 @@ def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
     lb = cfg.VAL.get("LOWERBOUND", 0)
     ub = cfg.VAL.get("UPPERBOUND", 192)
     eval_ids = list(cfg.VAL.get("EVAL_DISPARITY_IDS", [0]))
+    do_occ = cfg.VAL.get("DO_OCCLUSION_EVALUATION", False)
 
     def eval_step(variables, batch) -> Dict[str, jnp.ndarray]:
         outputs, _, _ = multi_frame_forward(model, variables, batch,
                                             train=False)
         gt = batch["disp_gt"][-1]
+        gt_right = batch.get("disp_gt_right")
         metrics = {}
         disps = outputs["disps"]
         for i in eval_ids:
@@ -104,6 +106,13 @@ def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
             err = calc_error(disps[i], gt, lb=lb, ub=ub)
             for k, v in err.items():
                 metrics[f"metric_disparity_{i}/all_{k}"] = v
+            if do_occ and gt_right is not None:
+                # occ/noc split via LR-consistency (reference
+                # TemporalStereo.py:477-484 -> eval.py:45-106)
+                occ = do_occlusion_evaluation(disps[i], gt, gt_right[-1],
+                                              lb, ub)
+                for k, v in occ.items():
+                    metrics[f"metric_disparity_{i}/{k}"] = v
         return metrics
 
     return eval_step

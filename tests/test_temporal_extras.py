@@ -99,3 +99,29 @@ def test_swa_accumulation(temporal_setup):
     # averaged params are finite and close to current params
     for a, b in zip(jax.tree.leaves(swa), jax.tree.leaves(state.params)):
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_eval_step_occlusion_metrics(temporal_setup):
+    """DO_OCCLUSION_EVALUATION + disp_gt_right yields occ_/noc_ splits
+    (reference TemporalStereo.py:477-484)."""
+    from temporalstereo_tpu.config import get_cfg as _get_cfg
+    from temporalstereo_tpu.training.step import make_eval_step
+    from tests.test_model_training import H as _H, W as _W
+
+    _, model, variables = temporal_setup
+    cfg = _get_cfg(opts=tiny_opts(temporal=True)
+                   + ["VAL.DO_OCCLUSION_EVALUATION", "True",
+                      "VAL.EVAL_DISPARITY_IDS", "[0]"])
+    rng = np.random.RandomState(1)
+    batch = make_batch(rng, 2, 1)
+    batch["disp_gt_right"] = rng.uniform(
+        1, 30, size=(2, 1, _H, _W, 1)).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    eval_step = make_eval_step(model, cfg)
+    metrics = eval_step(variables, batch)
+    assert "metric_disparity_0/all_epe" in metrics
+    assert "metric_disparity_0/occ_epe" in metrics
+    assert "metric_disparity_0/noc_epe" in metrics
+    for v in metrics.values():
+        assert np.isfinite(float(v))
