@@ -142,3 +142,47 @@ def test_fused_matches_unfused_oracle(rng, tz):
     np.testing.assert_allclose(out.cost_memory.cost_volume, cm.cost_volume,
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(out.local_map, lm, rtol=1e-4, atol=1e-4)
+
+
+def test_synthetic_video_pose_convention(rng):
+    """The sanity_train synthetic video's poses must reproduce its image
+    flow: lateral camera motion tx with baseline 1 induces rigid flow
+    disp * tx — checked through the real project_to_3d machinery."""
+    from temporalstereo_tpu.cli.sanity_train import make_synthetic_batch
+    from temporalstereo_tpu.models.temporal import chained_poses
+
+    tx = 0.05
+    batch = make_synthetic_batch(rng, b=1, h=32, w=48, t=2, tx=tx)
+    T_cam = jnp.asarray(batch["T_cam"])
+    inv_T = jnp.asarray(batch["inv_T"])
+    t_p2n = chained_poses(T_cam, inv_T)[1]
+
+    disp_past = jnp.asarray(batch["disp_gt"][0])          # [1, H, W, 1]
+    K = jnp.asarray(batch["K"])
+    focal = K[:, 0, 0].reshape(-1, 1, 1, 1)
+    depth = 1.0 * focal / disp_past                       # baseline = 1
+    out = project_to_3d(depth, K, jnp.linalg.inv(K), t_p2n)
+    flow_x = out["optical_flow"][:, :, :, 0, 0]
+    np.testing.assert_allclose(np.asarray(flow_x),
+                               np.asarray(disp_past[..., 0]) * tx,
+                               rtol=1e-3, atol=1e-3)
+    # and the frames themselves are consistent: past left warped forward by
+    # that flow approximates the current left (interior pixels)
+    cur = batch["left"][1][0]
+    past = batch["left"][0][0]
+    h, w, _ = cur.shape
+    # content moves right by disp*tx from past to now (that's the forward
+    # flow softsplat uses); backward-sampling the past frame at the current
+    # pixel therefore looks LEFT: x - disp_now*tx
+    disp_now = np.asarray(batch["disp_gt"][1][0, ..., 0])
+    xs = np.arange(w)[None, :] - disp_now * tx
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    f = (xs - np.floor(xs))[..., None]
+    rows = np.arange(h)[:, None]
+    recon = past[rows, x0] * (1 - f) + past[rows, x1] * f
+    err = np.abs(recon[:, 4:-4] - cur[:, 4:-4]).mean()
+    base = np.abs(past[:, 4:-4] - cur[:, 4:-4]).mean()
+    # double-bilinear blur leaves residual; demand the pose-warp explains
+    # most of the motion rather than an absolute epsilon
+    assert err < 0.5 * base, f"temporal frames inconsistent: {err} vs {base}"
