@@ -96,6 +96,10 @@ def summation_splat(values: jnp.ndarray, flow: jnp.ndarray,
         return summation_splat_einsum(values, flow)
     if method == "scatter":
         return summation_splat_scatter(values, flow)
+    if method == "pallas":
+        from .pallas.splat import summation_splat_pallas
+
+        return summation_splat_pallas(values, flow)
     raise ValueError(f"unknown splat method {method!r}")
 
 

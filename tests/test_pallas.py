@@ -44,3 +44,63 @@ def test_shift_1d_pallas_gradients(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_shift_p), np.asarray(g_shift_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_splat_pallas_matches_scatter(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from temporalstereo_tpu.ops.pallas.splat import summation_splat_pallas
+    from temporalstereo_tpu.ops.softsplat import summation_splat_scatter
+
+    b, h, w, c = 2, 6, 16, 8
+    vals = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-5, 5, (b, h, w, 2)), jnp.float32)
+
+    ref = summation_splat_scatter(vals, flow)
+    with pltpu.force_tpu_interpret_mode():
+        out = summation_splat_pallas(vals, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_splat_pallas_softmax_mode(rng):
+    """Full softsplat (softmax importance) through the pallas kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from temporalstereo_tpu.ops.softsplat import softsplat
+
+    b, h, w, c = 1, 5, 12, 4
+    vals = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-3, 3, (b, h, w, 2)), jnp.float32)
+    metric = jnp.asarray(rng.randn(b, h, w, 1), jnp.float32)
+
+    ref = softsplat(vals, flow, metric, mode="softmax", method="scatter")
+    with pltpu.force_tpu_interpret_mode():
+        out = softsplat(vals, flow, metric, mode="softmax", method="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=2e-4)
+
+
+def test_splat_pallas_gradients(rng):
+    """custom_vjp backward equals autodiff of the scatter oracle (which the
+    reference CUDA updateGradInput/updateGradFlow kernels implement)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from temporalstereo_tpu.ops.pallas.splat import summation_splat_pallas
+    from temporalstereo_tpu.ops.softsplat import summation_splat_scatter
+
+    b, h, w, c = 1, 4, 10, 3
+    vals = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-2, 2, (b, h, w, 2)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        gv_p, gf_p = jax.grad(
+            lambda v, f: jnp.sum(summation_splat_pallas(v, f) ** 2),
+            argnums=(0, 1))(vals, flow)
+    gv_x, gf_x = jax.grad(
+        lambda v, f: jnp.sum(summation_splat_scatter(v, f) ** 2),
+        argnums=(0, 1))(vals, flow)
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_x), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), rtol=1e-4,
+                               atol=1e-4)
