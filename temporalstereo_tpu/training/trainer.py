@@ -32,7 +32,7 @@ from ..parallel import (
     make_sharded_train_step,
     shard_batch,
 )
-from ..utils.logging import FileWriter, MetricLogger
+from ..utils.logging import FileWriter, MetricLogger, format_error_table
 from .checkpoint import CheckpointManager, load_weights, warm_start
 from .optim import build_optimizer
 from .state import TrainState
@@ -200,8 +200,7 @@ class Trainer:
         means = {k: v / max(count, 1) for k, v in sums.items()}
         self.writer.stdout("\n" + "*" * 40 +
                            f"  Validation on Epoch: {epoch}  " + "*" * 40)
-        for k in sorted(means):
-            self.writer.stdout(f"  {k}: {means[k]:.4f}")
+        self.writer.stdout(format_error_table(means))
         self.metrics.log_scalars(int(self.state.step), means, prefix="val/")
         return means
 

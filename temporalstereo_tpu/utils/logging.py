@@ -29,6 +29,36 @@ def collect_env_info() -> str:
     return "\n".join(lines)
 
 
+def format_error_table(means: Dict[str, float]) -> str:
+    """Group ``metric_disparity_{i}/{region}_{metric}`` keys into aligned
+    per-map/per-region rows (the reference's pandas-DataFrame epoch summary,
+    ``TemporalStereo.py:216-248 process_error_dict``).  Keys that don't match
+    the metric naming scheme are listed verbatim below the table."""
+    rows: Dict[str, Dict[str, float]] = {}
+    extras = {}
+    for k, v in means.items():
+        if "/" in k and k.startswith("metric_"):
+            map_name, rest = k.split("/", 1)
+            region, _, metric = rest.partition("_")
+            rows.setdefault(f"{map_name[len('metric_'):]}/{region}",
+                            {})[metric or region] = v
+        else:
+            extras[k] = v
+    lines = []
+    if rows:
+        cols = sorted({c for r in rows.values() for c in r})
+        head = f"{'':28s}" + "".join(f"{c:>12s}" for c in cols)
+        lines.append(head)
+        for name in sorted(rows):
+            cells = "".join(
+                f"{rows[name][c]:12.4f}" if c in rows[name] else f"{'-':>12s}"
+                for c in cols)
+            lines.append(f"{name:28s}" + cells)
+    for k in sorted(extras):
+        lines.append(f"  {k}: {extras[k]:.4f}")
+    return "\n".join(lines)
+
+
 class FileWriter:
     """Rank-zero text log with examples/s + ETA (reference logger.py:36-77)."""
 

@@ -63,3 +63,30 @@ def flow_to_color(flow: np.ndarray, max_flow: float | None = None
         col[~idx] = col[~idx] * 0.75
         out[..., c] = col
     return out.astype(np.float32)
+
+
+# KITTI error-color table: EPE bin upper bounds (px) and RdYlBu-style RGB.
+_ERR_BINS = np.array(
+    [0.1875, 0.375, 0.75, 1.5, 3.0, 6.0, 12.0, 24.0, 48.0, np.inf])
+_ERR_RGB = np.array([
+    [49, 54, 149], [69, 117, 180], [116, 173, 209], [171, 217, 233],
+    [224, 243, 248], [254, 224, 144], [253, 174, 97], [244, 109, 67],
+    [215, 48, 39], [165, 0, 38]], dtype=np.float32) / 255.0
+
+
+def flow_err_to_color(est_flow: np.ndarray, gt_flow: np.ndarray,
+                      gt_valid: np.ndarray | None = None) -> np.ndarray:
+    """EPE error map, hot = large error (reference flow_err_to_color
+    ``flow_colormap.py:170-221``).  [H, W, 2] est/gt -> [H, W, 3] in [0, 1];
+    invalid-GT pixels are black.  Binning is a single searchsorted instead
+    of the reference's per-interval boolean scan."""
+    epe = np.linalg.norm(
+        np.asarray(gt_flow, np.float64) - np.asarray(est_flow, np.float64),
+        axis=-1)
+    valid = np.ones(epe.shape, bool) if gt_valid is None \
+        else np.asarray(gt_valid) != 0
+    epe = np.where(valid, epe, 0.0)
+    idx = np.searchsorted(_ERR_BINS, epe, side="left")
+    out = _ERR_RGB[np.minimum(idx, len(_ERR_RGB) - 1)]
+    out[~valid] = 0.0
+    return out.astype(np.float32)

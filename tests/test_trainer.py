@@ -117,3 +117,27 @@ def test_warm_start_partial(fake_root, tmp_path):
     # a matched leaf actually took the loaded value
     lhs = jax.tree.leaves(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in lhs[:5])
+
+
+def test_format_error_table():
+    from temporalstereo_tpu.utils.logging import format_error_table
+
+    means = {
+        "metric_disparity_0/all_epe": 1.23,
+        "metric_disparity_0/all_3px": 0.05,
+        "metric_disparity_0/occ_epe": 2.5,
+        "metric_disparity_1/all_epe": 1.5,
+        "loss": 0.7,
+    }
+    out = format_error_table(means)
+    lines = out.splitlines()
+    # one header + three map/region rows + one extra scalar
+    assert len(lines) == 5
+    assert "disparity_0/all" in out and "disparity_0/occ" in out
+    assert "epe" in lines[0] and "3px" in lines[0]
+    row0 = [ln for ln in lines if ln.startswith("disparity_0/all")][0]
+    assert "1.2300" in row0 and "0.0500" in row0
+    # missing cells render as '-'
+    rowocc = [ln for ln in lines if ln.startswith("disparity_0/occ")][0]
+    assert "-" in rowocc
+    assert "loss: 0.7000" in out

@@ -45,6 +45,26 @@ def test_flow_to_color(rng):
     assert white.min() > 0.9
 
 
+def test_flow_err_to_color():
+    from temporalstereo_tpu.visualization import flow_err_to_color
+    gt = np.zeros((3, 4, 2), np.float32)
+    est = np.zeros((3, 4, 2), np.float32)
+    # EPE per pixel: 0 (coldest bin), 5 (bin (3,6]), 100 (hottest bin)
+    est[0, 0, 0] = 0.0
+    est[1, 1, 0] = 5.0
+    est[2, 2, 0] = 100.0
+    img = flow_err_to_color(est, gt)
+    assert img.shape == (3, 4, 3)
+    np.testing.assert_allclose(img[0, 0] * 255, [49, 54, 149], atol=0.5)
+    np.testing.assert_allclose(img[1, 1] * 255, [254, 224, 144], atol=0.5)
+    np.testing.assert_allclose(img[2, 2] * 255, [165, 0, 38], atol=0.5)
+    # invalid-GT pixels are black
+    valid = np.ones((3, 4), np.float32)
+    valid[2, 2] = 0
+    img2 = flow_err_to_color(est, gt, valid)
+    assert (img2[2, 2] == 0).all()
+
+
 def test_colormap_dispatcher(rng):
     data = rng.rand(5, 7).astype(np.float32)
     out = colormap(lambda d: np.stack([d, d, d], -1), data, normalize=True)
