@@ -89,3 +89,77 @@ def test_shift_matmul_gradients_match(rng):
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_depth_axis_conv3d_matches_torch(rng):
+    """The (kd,1,1) Conv3d path (tap-shifted channel matmuls, layers.py
+    _DepthAxisConv) must equal torch.nn.Conv3d exactly for every
+    stride/padding/dilation combination the model uses."""
+    import torch
+
+    from temporalstereo_tpu.nn.layers import Conv3d
+
+    for kd, sd, pd, dil, bias in [
+        (3, 1, 1, 1, True),    # DepthwiseConv3D stride 1
+        (3, 2, 1, 1, False),   # ResidualBlock3D downsample
+        (3, 1, 2, 2, True),    # dilated init3d tail
+        (5, 1, 2, 1, True),
+        (3, 2, 1, 2, False),
+    ]:
+        x = rng.randn(2, 9, 4, 5, 6).astype(np.float32)
+        m = Conv3d(7, (kd, 1, 1), (sd, 1, 1), (pd, 0, 0), (dil, 1, 1),
+                   use_bias=bias, norm=None, activation=None)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        kern = np.asarray(v["params"]["Conv_0"]["kernel"])  # (kd,1,C,F)
+        assert kern.shape == (kd, 1, 6, 7)
+        y = np.asarray(m.apply(v, jnp.asarray(x)))
+
+        tm = torch.nn.Conv3d(6, 7, (kd, 1, 1), (sd, 1, 1), (pd, 0, 0),
+                             (dil, 1, 1), bias=bias)
+        with torch.no_grad():
+            tm.weight.copy_(torch.from_numpy(
+                np.transpose(kern, (3, 2, 0, 1))[..., None].copy()))
+            if bias:
+                tm.bias.copy_(torch.from_numpy(
+                    np.asarray(v["params"]["Conv_0"]["bias"]).copy()))
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)).copy())
+        yt = tm(xt).detach().numpy().transpose(0, 2, 3, 4, 1)
+        np.testing.assert_allclose(y, yt, atol=2e-5)
+
+
+def test_depth_axis_convtranspose3d_matches_torch(rng):
+    """The (kd,1,1) ConvTranspose3d path (slot-interleave scatter,
+    layers.py _DepthAxisConvTranspose) must equal torch.nn.ConvTranspose3d."""
+    import torch
+
+    from temporalstereo_tpu.nn.layers import ConvTranspose3d
+
+    for kd, sd, pd, od, bias in [
+        (3, 2, 1, 1, False),   # ResidualBlock3D upsample
+        (3, 2, 1, 0, True),
+        (3, 1, 1, 0, True),
+        (4, 2, 1, 1, False),
+        (2, 2, 0, 0, True),
+    ]:
+        x = rng.randn(2, 6, 4, 5, 6).astype(np.float32)
+        m = ConvTranspose3d(7, (kd, 1, 1), (sd, 1, 1), (pd, 0, 0),
+                            (od, 0, 0), use_bias=bias, norm=None,
+                            activation=None)
+        v = m.init(jax.random.PRNGKey(1), jnp.asarray(x))
+        kern = np.asarray(v["params"]["ConvTranspose2d_0"]["kernel"])
+        assert kern.shape == (kd, 1, 6, 7)
+        y = np.asarray(m.apply(v, jnp.asarray(x)))
+
+        tm = torch.nn.ConvTranspose3d(6, 7, (kd, 1, 1), (sd, 1, 1),
+                                      (pd, 0, 0), (od, 0, 0), bias=bias)
+        with torch.no_grad():
+            # torch ConvTranspose3d weight: [in, out, kd, 1, 1]
+            tm.weight.copy_(torch.from_numpy(
+                np.transpose(kern, (2, 3, 0, 1))[..., None].copy()))
+            if bias:
+                tm.bias.copy_(torch.from_numpy(np.asarray(
+                    v["params"]["ConvTranspose2d_0"]["bias"]).copy()))
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)).copy())
+        yt = tm(xt).detach().numpy().transpose(0, 2, 3, 4, 1)
+        assert y.shape == yt.shape, (y.shape, yt.shape)
+        np.testing.assert_allclose(y, yt, atol=2e-5)
