@@ -80,7 +80,9 @@ def write_kitti_disp(path: str, disp: np.ndarray) -> None:
     """uint16 PNG for the KITTI submission server
     (kitti_submission.py:114-116)."""
     out = np.clip(disp * 256.0, 0, 65535).astype(np.uint16)
-    Image.fromarray(out, mode="I;16").save(path)
+    # Pillow infers I;16 from the uint16 dtype; the explicit mode= arg is
+    # deprecated (removal in Pillow 13)
+    Image.fromarray(out).save(path)
 
 
 def load_kitti_depth(path: str) -> np.ndarray:
