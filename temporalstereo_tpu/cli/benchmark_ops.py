@@ -72,6 +72,39 @@ def main() -> None:
     t_ = t(lambda a, b: correlation2d(a, b, 21), f1, f2)
     results["correlation2d"] = report("CORRELATION2D p21 @1/16", t_)
 
+    # fused cost-volume base kernel (ops/pallas/cost.py) vs the XLA
+    # formulation it replaces, at the model's precise-stage shape
+    # (C=128 = backbone x4 + UNet guidance, D=5, 1/4 res, bf16)
+    from ..ops.cost import groupwise_correlation
+    from ..ops.pallas.cost import fused_cost_base_pallas
+    from ..ops.warp import shift_1d_matmul
+
+    def xla_base(l, r, d):
+        b, h, w, c = l.shape
+        dd = d.shape[1]
+        ref = jnp.broadcast_to(l[:, None], (b, dd, h, w, c))
+        tgt = shift_1d_matmul(r[:, None], -d)
+        return jnp.concatenate(
+            [ref, tgt, groupwise_correlation(ref, tgt)], axis=-1)
+
+    for tag, (hh, ww, cc, dd) in {
+        "precise_1_4": (h4, w4, 128, 5),
+        "fine_1_8": (h8, w8, 128, 10),
+    }.items():
+        left = jnp.asarray(rng.rand(1, hh, ww, cc), jnp.bfloat16)
+        right = jnp.asarray(rng.rand(1, hh, ww, cc), jnp.bfloat16)
+        disp = jnp.asarray(rng.rand(1, dd, hh, ww) * 24, jnp.bfloat16)
+        t_ = t(xla_base, left, right, disp)
+        results[f"cost_base_xla_{tag}"] = report(
+            f"COST BASE xla {tag} C{cc} D{dd}", t_)
+        try:
+            t_ = t(fused_cost_base_pallas, left, right, disp)
+            results[f"cost_base_pallas_{tag}"] = report(
+                f"COST BASE pallas {tag} C{cc} D{dd}", t_)
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"pallas cost kernel unavailable ({type(e).__name__}): "
+                  f"{e}")
+
     # softmax splat @1/8 x 16 channels (CUDA-kernel replacement)
     vals = jnp.asarray(rng.rand(1, h8, w8, 16), jnp.float32)
     flow = jnp.asarray(rng.randn(1, h8, w8, 2) * 4, jnp.float32)

@@ -31,6 +31,22 @@ def _use_pallas() -> bool:
     return os.environ.get("TS_USE_PALLAS", "0") == "1"
 
 
+def _use_pallas_cost() -> bool:
+    """Opt-in fused cost-volume kernel (TS_USE_PALLAS_COST=1), see
+    ops/pallas/cost.py.
+
+    Default off after measuring both ways on a v5e: standalone the kernel
+    beats the XLA lowering 2.3x @1/4 (0.39 vs 0.91 ms, C=128 D=5 bf16) and
+    1.9x @1/8 (0.25 vs 0.47 ms, D=10), but end-to-end the model runs ~6%
+    slower (51.4 vs 54.7 fps @384x1248) — pallas_call is a fusion barrier,
+    and inside the full graph XLA folds the one-hot construction, concat and
+    correlation into neighboring consumers, which the standalone comparison
+    cannot capture."""
+    import os
+
+    return os.environ.get("TS_USE_PALLAS_COST", "0") == "1"
+
+
 def _shift(img, disp, padding_mode="zeros"):
     if _use_pallas():
         from .pallas.shift import shift_1d_pallas
@@ -100,6 +116,23 @@ def block_cost(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
         ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
         diff = ref - tgt
         base = -(diff * diff)
+    elif (_use_pallas_cost() and c % CHANNELS_PER_GROUP == 0
+          and int(block_cost_scale) >= 1):
+        # fused kernel: warp + concat + scale-0 corr in one VMEM pass; the
+        # pooled scales below read its output slices (1/4, 1/16 the data)
+        from .pallas.cost import fused_cost_base_pallas
+
+        d = disp_sample.shape[1]
+        fused = fused_cost_base_pallas(reference_fm, target_fm, disp_sample)
+        ref, tgt = fused[..., :c], fused[..., c:2 * c]
+        costs = [fused]
+        for s in range(1, int(block_cost_scale)):
+            sh, sw = min(2 ** s, h), min(2 ** s, w)
+            local_ref = avg_pool3d(ref, (1, sh, sw))
+            local_tgt = avg_pool3d(tgt, (1, sh, sw))
+            corr = groupwise_correlation(local_ref, local_tgt)
+            costs.append(resize_trilinear(corr, (d, h, w)))
+        return jnp.concatenate(costs, axis=-1)
     else:
         d = disp_sample.shape[1]
         ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))

@@ -30,11 +30,13 @@ def _kernel(shift_ref, img_ref, out_ref):
     r, w, c = img_ref.shape
     col_in = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)   # [w_out, w_in]
     for i in range(r):
-        shift = shift_ref[i, :]                               # [w]
+        # f32 coordinate math (see ops.warp.shift_1d: bf16 integers > 256
+        # step by 2, mis-rounding tap indices at W > 256)
+        shift = shift_ref[i, :].astype(jnp.float32)           # [w]
         xi = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0]
-        xs = xi.astype(shift.dtype) + shift
+        xs = xi.astype(jnp.float32) + shift
         x0 = jnp.floor(xs)
-        fx = (xs - x0).astype(jnp.float32)
+        fx = xs - x0
         x0i = x0.astype(jnp.int32)
         # two-tap one-hot interpolation matrix [w_out, w_in]
         m = (jnp.where(col_in == x0i[:, None], (1.0 - fx)[:, None], 0.0)

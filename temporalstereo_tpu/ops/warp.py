@@ -174,10 +174,13 @@ def shift_1d(img: jnp.ndarray, shift: jnp.ndarray,
     b, d, h, w = shift.shape
     c = img.shape[-1]
     img = jnp.broadcast_to(img, (b, d, h, w, c))
-    xs = jax.lax.broadcasted_iota(shift.dtype, (b, d, h, w), 3) + shift
+    # coordinate math in f32: in bf16, integers > 256 have spacing 2, so
+    # x + shift at W > 256 would round the tap index by up to a pixel
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (b, d, h, w), 3)
+          + shift.astype(jnp.float32))
 
     x0 = jnp.floor(xs)
-    fx = xs - x0
+    fx = (xs - x0).astype(img.dtype)
 
     def tap(xi, weight):
         if padding_mode == "zeros":
@@ -209,7 +212,9 @@ def shift_1d_matmul(img: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
     shift = shift.reshape(b * d * h, w)
     n = img.shape[0]
 
-    xs = jax.lax.broadcasted_iota(shift.dtype, (n, w), 1) + shift
+    # f32 coordinate math (see shift_1d: bf16 integers > 256 step by 2)
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (n, w), 1)
+          + shift.astype(jnp.float32))
     x0 = jnp.floor(xs)
     fx = (xs - x0).astype(img.dtype)[..., None]
     x0i = x0.astype(jnp.int32)[..., None]

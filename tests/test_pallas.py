@@ -104,3 +104,77 @@ def test_splat_pallas_gradients(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_fused_cost_base_pallas_matches_xla(rng):
+    """Fused warp+concat+corr0 kernel equals the XLA block_cost base."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from temporalstereo_tpu.ops.cost import groupwise_correlation
+    from temporalstereo_tpu.ops.pallas.cost import fused_cost_base_pallas
+    from temporalstereo_tpu.ops.warp import shift_1d
+
+    b, d, h, w, c = 2, 3, 4, 24, 16
+    ref = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    tgt = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    disp = jnp.asarray(rng.uniform(0, 12, (b, d, h, w)), jnp.float32)
+
+    refb = jnp.broadcast_to(ref[:, None], (b, d, h, w, c))
+    warped = shift_1d(tgt[:, None], -disp, padding_mode="zeros")
+    expected = jnp.concatenate(
+        [refb, warped, groupwise_correlation(refb, warped)], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_cost_base_pallas(ref, tgt, disp)
+    assert out.shape == (b, d, h, w, 2 * c + c // 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_cost_base_pallas_gradients(rng):
+    """custom_vjp backward equals autodiff of the XLA formulation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from temporalstereo_tpu.ops.cost import groupwise_correlation
+    from temporalstereo_tpu.ops.pallas.cost import fused_cost_base_pallas
+    from temporalstereo_tpu.ops.warp import shift_1d
+
+    b, d, h, w, c = 1, 2, 2, 16, 8
+    ref = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    tgt = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    disp = jnp.asarray(rng.uniform(0, 6, (b, d, h, w)), jnp.float32)
+
+    def xla(r, t, s):
+        rb = jnp.broadcast_to(r[:, None], (b, d, h, w, c))
+        wp = shift_1d(t[:, None], -s, padding_mode="zeros")
+        full = jnp.concatenate(
+            [rb, wp, groupwise_correlation(rb, wp)], axis=-1)
+        return jnp.sum(full ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        grads_p = jax.grad(
+            lambda r, t, s: jnp.sum(fused_cost_base_pallas(r, t, s) ** 2),
+            argnums=(0, 1, 2))(ref, tgt, disp)
+    grads_x = jax.grad(xla, argnums=(0, 1, 2))(ref, tgt, disp)
+    for gp, gx in zip(grads_p, grads_x):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_block_cost_pallas_path_matches_default(rng, monkeypatch):
+    """TS_USE_PALLAS_COST=1 block_cost output equals the default lowering."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from temporalstereo_tpu.ops import cost as cost_mod
+
+    b, d, h, w, c = 1, 3, 8, 24, 16
+    ref = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    tgt = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    disp = jnp.asarray(rng.uniform(0, 12, (b, d, h, w)), jnp.float32)
+
+    expected = cost_mod.block_cost(ref, tgt, disp, 3)
+    monkeypatch.setenv("TS_USE_PALLAS_COST", "1")
+    with pltpu.force_tpu_interpret_mode():
+        out = cost_mod.block_cost(ref, tgt, disp, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-4, atol=1e-4)
