@@ -25,6 +25,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------- PFM ----
@@ -196,6 +198,153 @@ void ts_color_jitter(float* img, int64_t n_pixels, int c, float brightness,
       p[ch] = powf(v, gamma);
     }
   }
+}
+
+// ---------------------------------------------------------------- PNG ----
+
+static inline uint32_t ts_be32(const uint8_t* p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+static inline int ts_paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+// Decode a non-interlaced 8/16-bit gray / gray+alpha / RGB / RGBA PNG
+// (color types 0, 2, 4, 6 — covers KITTI uint16 disparity/depth and RGB
+// images; palette/interlaced fall back to PIL on the Python side).
+// Two-call protocol like ts_decode_pfm: out==null queries dims.
+// Output: h*w*c native-endian samples, uint8 (bitdepth 8) or uint16 (16).
+// Returns 0 on success, negative codes on unsupported/corrupt input.
+int ts_decode_png(const uint8_t* buf, int64_t len, int* out_h, int* out_w,
+                  int* out_c, int* out_bitdepth, void* out) {
+  static const uint8_t SIG[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (len < 8 + 25 || memcmp(buf, SIG, 8) != 0) return -1;
+  int64_t pos = 8;
+
+  // IHDR must be first
+  if (ts_be32(buf + pos) != 13 || memcmp(buf + pos + 4, "IHDR", 4) != 0)
+    return -2;
+  const uint8_t* ih = buf + pos + 8;
+  uint32_t w = ts_be32(ih), h = ts_be32(ih + 4);
+  int bitdepth = ih[8], color = ih[9];
+  int compression = ih[10], filter = ih[11], interlace = ih[12];
+  if (w == 0 || h == 0 || compression != 0 || filter != 0 || interlace != 0)
+    return -3;
+  int c;
+  switch (color) {
+    case 0: c = 1; break;   // gray
+    case 2: c = 3; break;   // rgb
+    case 4: c = 2; break;   // gray+alpha
+    case 6: c = 4; break;   // rgba
+    default: return -4;     // palette (3) unsupported
+  }
+  if (bitdepth != 8 && bitdepth != 16) return -4;
+  *out_h = (int)h;
+  *out_w = (int)w;
+  *out_c = c;
+  *out_bitdepth = bitdepth;
+  if (!out) return 0;
+
+  // concatenate IDAT payloads
+  std::vector<const uint8_t*> spans;
+  std::vector<uint32_t> span_lens;
+  int64_t idat_total = 0;
+  pos += 8 + 13 + 4;
+  while (pos + 12 <= len) {
+    uint32_t clen = ts_be32(buf + pos);
+    const uint8_t* ctype = buf + pos + 4;
+    if ((int64_t)clen > len - pos - 12) return -5;
+    if (memcmp(ctype, "IDAT", 4) == 0) {
+      spans.push_back(buf + pos + 8);
+      span_lens.push_back(clen);
+      idat_total += clen;
+    } else if (memcmp(ctype, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + clen;
+  }
+  if (idat_total == 0) return -5;
+
+  const int bpp = c * (bitdepth / 8);           // filter unit, bytes
+  const int64_t stride = (int64_t)w * bpp;      // raw row bytes
+  std::vector<uint8_t> raw((stride + 1) * h);
+
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return -6;
+  zs.next_out = raw.data();
+  zs.avail_out = (uInt)raw.size();
+  int zrc = Z_OK;
+  for (size_t i = 0; i < spans.size() && zrc != Z_STREAM_END; ++i) {
+    zs.next_in = const_cast<uint8_t*>(spans[i]);
+    zs.avail_in = span_lens[i];
+    zrc = inflate(&zs, Z_NO_FLUSH);
+    if (zrc != Z_OK && zrc != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return -6;
+    }
+  }
+  bool complete = zs.total_out == raw.size();
+  inflateEnd(&zs);
+  if (!complete) return -7;
+
+  // unfilter in place; prev = reconstructed previous row
+  uint8_t* dst8 = (uint8_t*)out;
+  std::vector<uint8_t> prev(stride, 0);
+  for (uint32_t y = 0; y < h; ++y) {
+    const uint8_t* src = raw.data() + (int64_t)y * (stride + 1);
+    uint8_t ft = src[0];
+    const uint8_t* in = src + 1;
+    uint8_t* row = dst8 + (int64_t)y * stride;   // reconstruct into output
+    switch (ft) {
+      case 0:
+        memcpy(row, in, stride);
+        break;
+      case 1:  // sub
+        for (int64_t i = 0; i < stride; ++i)
+          row[i] = (uint8_t)(in[i] + (i >= bpp ? row[i - bpp] : 0));
+        break;
+      case 2:  // up
+        for (int64_t i = 0; i < stride; ++i)
+          row[i] = (uint8_t)(in[i] + prev[i]);
+        break;
+      case 3:  // average
+        for (int64_t i = 0; i < stride; ++i) {
+          int a = i >= bpp ? row[i - bpp] : 0;
+          row[i] = (uint8_t)(in[i] + ((a + prev[i]) >> 1));
+        }
+        break;
+      case 4:  // paeth
+        for (int64_t i = 0; i < stride; ++i) {
+          int a = i >= bpp ? row[i - bpp] : 0;
+          int cc = i >= bpp ? prev[i - bpp] : 0;
+          row[i] = (uint8_t)(in[i] + ts_paeth(a, prev[i], cc));
+        }
+        break;
+      default:
+        return -8;
+    }
+    memcpy(prev.data(), row, stride);
+  }
+
+  // 16-bit samples are big-endian on the wire -> native uint16
+  if (bitdepth == 16) {
+    int64_t n = (int64_t)h * w * c;
+    uint16_t* p16 = (uint16_t*)out;
+    for (int64_t i = 0; i < n; ++i) {
+      uint8_t hi = dst8[i * 2], lo = dst8[i * 2 + 1];
+      p16[i] = (uint16_t)((hi << 8) | lo);
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

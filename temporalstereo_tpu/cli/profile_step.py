@@ -12,6 +12,7 @@ the ground truth (SURVEY.md §5.1), so this tool is first-class.
 import argparse
 import collections
 import glob
+import re
 import shutil
 import sys
 import tempfile
@@ -55,7 +56,10 @@ def _trace_events(fn, args, iters=6):
                 for ev in line.events:
                     md = p.event_metadata[ev.metadata_id]
                     name = md.name
-                    if name.startswith("jit_"):
+                    # whole-dispatch rollup events: "jit_<fn>" entries and
+                    # bare iteration numbers ("0".."5") — these measure the
+                    # wall time of one step, not an op
+                    if name.startswith("jit_") or name.isdigit():
                         step_total += ev.duration_ps / 1e12
                         continue
                     totals[name] += ev.duration_ps / 1e12
@@ -160,8 +164,38 @@ def main(argv=None):
 
     totals, counts, step_s = _trace_events(step, fn_args)
     grand = sum(totals.values())
-    print(f"\nstep device time: {1e3 * grand / 6:.2f} ms "
-          f"(sum of op events / iters)")
+
+    # join instruction names with HLO op_name metadata -> model-scope table
+    hlo_txt = jax.jit(step).lower(*fn_args).compile().as_text()
+    op_names = {}
+    for line in hlo_txt.splitlines():
+        line = line.strip()
+        if line.startswith("ROOT "):
+            line = line[5:]
+        if not line.startswith("%"):
+            continue
+        short = line.split(" = ")[0].lstrip("%")
+        m = re.search(r'op_name="([^"]+)"', line)
+        if m:
+            op_names[short] = m.group(1)
+
+    scopes = collections.Counter()
+    for name, tot in totals.items():
+        short = name.lstrip("%").split(" ")[0]
+        path = op_names.get(short, "<no-metadata>")
+        parts = [p for p in path.split("/") if not p.startswith("jit(")]
+        scopes["/".join(parts[:3]) or path] += tot
+    print(f"\n{'model scope (op_name metadata)':<52} {'total ms':>9} "
+          f"{'%':>6}")
+    for scope, tot in scopes.most_common(30):
+        print(f"{scope[:52]:<52} {1e3 * tot / 6:9.3f} "
+              f"{100 * tot / grand:6.1f}")
+    if step_s > 0:
+        print(f"\nstep wall (whole-dispatch rollup events): "
+              f"{1e3 * step_s:.2f} ms")
+    print(f"step device time: {1e3 * grand / 6:.2f} ms "
+          f"(sum of op events / iters — async copy/slice-starts overlap "
+          f"compute, so this over-counts vs wall)")
 
     cats = collections.Counter()
     for name, tot in totals.items():

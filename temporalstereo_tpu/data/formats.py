@@ -70,10 +70,20 @@ def write_pfm(path: str, image: np.ndarray, scale: float = 1.0) -> None:
 
 # --------------------------------------------------------------- KITTI --
 
+def _load_png16(path: str) -> np.ndarray:
+    """uint16 PNG via the native zlib decoder, PIL fallback."""
+    from .native import decode_png
+
+    with open(path, "rb") as f:
+        raw = decode_png(f.read())
+    if raw is not None:
+        return raw.astype(np.float32)
+    return np.asarray(Image.open(path), dtype=np.float32)
+
+
 def load_kitti_disp(path: str) -> np.ndarray:
     """KITTI uint16 PNG disparity (value/256, 0 = invalid)."""
-    disp = np.asarray(Image.open(path), dtype=np.float32)
-    return disp / 256.0
+    return _load_png16(path) / 256.0
 
 
 def write_kitti_disp(path: str, disp: np.ndarray) -> None:
@@ -86,8 +96,7 @@ def write_kitti_disp(path: str, disp: np.ndarray) -> None:
 
 
 def load_kitti_depth(path: str) -> np.ndarray:
-    depth = np.asarray(Image.open(path), dtype=np.float32)
-    return depth / 256.0
+    return _load_png16(path) / 256.0
 
 
 # ---------------------------------------------------------- SceneFlow --
@@ -129,8 +138,7 @@ def tartanair_pose_to_matrix(pose_line: np.ndarray) -> np.ndarray:
 
 def load_vkitti_depth(path: str) -> np.ndarray:
     """VKITTI2 PNG depth in centimetres -> metres (load_vkitti.py)."""
-    depth = np.asarray(Image.open(path), dtype=np.float32)
-    return depth / 100.0
+    return _load_png16(path) / 100.0
 
 
 # --------------------------------------------------------------- Flow --
@@ -147,7 +155,14 @@ def load_flo(path: str) -> np.ndarray:
 
 def load_kitti_flow(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """KITTI png flow: (value-2^15)/64, third channel = valid mask."""
-    raw = np.asarray(Image.open(path), dtype=np.float32)
+    from .native import decode_png
+
+    with open(path, "rb") as f:
+        raw = decode_png(f.read())
+    if raw is None or raw.ndim != 3 or raw.shape[-1] < 3:
+        raw = np.asarray(Image.open(path), dtype=np.float32)
+    else:
+        raw = raw.astype(np.float32)
     flow = (raw[..., :2] - 2 ** 15) / 64.0
     valid = raw[..., 2] > 0
     return flow, valid
@@ -183,5 +198,14 @@ def load_pose_file(path: str, invert: bool = True) -> np.ndarray:
 
 def load_image(path: str) -> np.ndarray:
     """RGB image in [0, 1] float32, [H, W, 3]."""
+    if path.lower().endswith(".png"):
+        from .native import decode_png
+
+        with open(path, "rb") as f:
+            raw = decode_png(f.read())
+        if raw is not None and raw.dtype == np.uint8:
+            if raw.ndim == 2:
+                raw = np.repeat(raw[..., None], 3, axis=-1)
+            return raw[..., :3].astype(np.float32) / 255.0
     img = Image.open(path).convert("RGB")
     return np.asarray(img, dtype=np.float32) / 255.0

@@ -56,6 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ts_crop.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    if hasattr(lib, "ts_decode_png"):
+        lib.ts_decode_png.restype = ctypes.c_int
+        lib.ts_decode_png.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -85,6 +92,36 @@ def decode_pfm(buf: bytes) -> Tuple[np.ndarray, float]:
     if rc != 0:
         raise ValueError(f"ts_decode_pfm data error {rc}")
     return (out[..., 0] if c.value == 1 else out), 1.0
+
+
+def decode_png(buf: bytes) -> Optional[np.ndarray]:
+    """Native PNG decode (8/16-bit gray/GA/RGB/RGBA, non-interlaced).
+
+    Returns [H, W] or [H, W, C] uint8/uint16, or None when the native
+    library is unavailable or the file needs PIL (palette/interlaced) —
+    callers fall back to PIL.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ts_decode_png"):
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    bd = ctypes.c_int()
+    rc = lib.ts_decode_png(ptr, len(buf), ctypes.byref(h), ctypes.byref(w),
+                           ctypes.byref(c), ctypes.byref(bd), None)
+    if rc != 0:
+        return None
+    dtype = np.uint16 if bd.value == 16 else np.uint8
+    out = np.empty((h.value, w.value, c.value), dtype)
+    rc = lib.ts_decode_png(ptr, len(buf), ctypes.byref(h), ctypes.byref(w),
+                           ctypes.byref(c), ctypes.byref(bd),
+                           out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out[..., 0] if c.value == 1 else out
 
 
 def resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:

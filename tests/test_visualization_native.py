@@ -100,3 +100,43 @@ def test_native_color_jitter_bindings():
     lib.ts_crop(orig.ctypes.data_as(ctypes.c_void_p), 6, 8, 3, 1, 2, 2, 3,
                 crop.ctypes.data_as(ctypes.c_void_p))
     np.testing.assert_allclose(crop, orig[1:3, 2:5], atol=1e-7)
+
+
+def test_native_png_decode_roundtrip(rng, tmp_path):
+    """Native zlib PNG decoder (native/tsnative.cpp ts_decode_png) is
+    bit-exact vs PIL for the formats the datasets use; palette PNGs fall
+    back to PIL (decode_png returns None)."""
+    import io
+
+    from PIL import Image
+
+    from temporalstereo_tpu.data import native
+    from temporalstereo_tpu.data.formats import load_image, load_kitti_disp
+
+    def png_bytes(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    a16 = rng.randint(0, 65535, (37, 124)).astype(np.uint16)
+    a8 = rng.randint(0, 255, (37, 124, 3)).astype(np.uint8)
+    g8 = rng.randint(0, 255, (16, 20)).astype(np.uint8)
+
+    if native.available():
+        out = native.decode_png(png_bytes(a16))
+        assert out.dtype == np.uint16 and (out == a16).all()
+        assert (native.decode_png(png_bytes(a8)) == a8).all()
+        assert (native.decode_png(png_bytes(g8)) == g8).all()
+        pal = io.BytesIO()
+        Image.fromarray(a8).convert("P").save(pal, format="PNG")
+        assert native.decode_png(pal.getvalue()) is None
+
+    # loader-level: same values whether native or PIL decodes
+    disp_path = tmp_path / "disp.png"
+    disp_path.write_bytes(png_bytes(a16))
+    np.testing.assert_allclose(load_kitti_disp(str(disp_path)),
+                               a16.astype(np.float32) / 256.0)
+    img_path = tmp_path / "img.png"
+    img_path.write_bytes(png_bytes(a8))
+    np.testing.assert_allclose(load_image(str(img_path)),
+                               a8.astype(np.float32) / 255.0)
