@@ -77,6 +77,8 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1248)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--scope-depth", type=int, default=3,
+                    help="path depth for the op_name scope aggregation")
     args = ap.parse_args(argv)
 
     from temporalstereo_tpu.config import get_cfg
@@ -184,7 +186,7 @@ def main(argv=None):
         short = name.lstrip("%").split(" ")[0]
         path = op_names.get(short, "<no-metadata>")
         parts = [p for p in path.split("/") if not p.startswith("jit(")]
-        scopes["/".join(parts[:3]) or path] += tot
+        scopes["/".join(parts[:args.scope_depth]) or path] += tot
     print(f"\n{'model scope (op_name metadata)':<52} {'total ms':>9} "
           f"{'%':>6}")
     for scope, tot in scopes.most_common(30):

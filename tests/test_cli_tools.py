@@ -1,0 +1,84 @@
+"""End-to-end CPU tests for the offline inference CLIs (kitti_submission,
+demo) — the reference's projects/TemporalStereo/kitti_submission.py and
+demo.py surfaces (SURVEY §3.4)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from temporalstereo_tpu.data.formats import write_pfm
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sf_cli")
+    h, w = 64, 96
+    rng = np.random.RandomState(0)
+    items = []
+    for idx in range(2):
+        item = {}
+        for fi in [0]:
+            lp, rp, dp = (f"L_{idx}_{fi}.png", f"R_{idx}_{fi}.png",
+                          f"D_{idx}_{fi}.pfm")
+            for pth in (lp, rp):
+                Image.fromarray((rng.rand(h, w, 3) * 255).astype(
+                    np.uint8)).save(root / pth)
+            write_pfm(str(root / dp),
+                      rng.uniform(1, 20, (h, w)).astype(np.float32))
+            item[str(fi)] = {"left_image_path": lp, "right_image_path": rp,
+                             "left_disp_path": dp}
+        items.append(item)
+    (root / "ann.json").write_text(json.dumps(items))
+    return str(root)
+
+
+def _opts(root):
+    opts = [
+        "TRAINER.PRECISION", "f32",
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "MODEL.AGGREGATION.PRECISE.C", "8",
+    ]
+    for phase in ("TRAIN", "VAL", "TEST"):
+        opts += [
+            f"DATA.{phase}.DATA_ROOT", root,
+            f"DATA.{phase}.ANNFILE", os.path.join(root, "ann.json"),
+            f"DATA.{phase}.TYPE", "SceneFlow",
+            f"DATA.{phase}.HEIGHT", "32",
+            f"DATA.{phase}.WIDTH", "64",
+            f"DATA.{phase}.FRAME_IDXS", "[0]",
+        ]
+    return opts
+
+
+def test_kitti_submission_cli(fake_root, tmp_path, monkeypatch):
+    from temporalstereo_tpu.cli import kitti_submission
+
+    out = tmp_path / "disp_0"
+    monkeypatch.setattr(sys, "argv", [
+        "kitti_submission", "--config-file", "configs/sceneflow.yaml",
+        "--output-dir", str(out), *_opts(fake_root)])
+    monkeypatch.chdir("/root/repo")
+    kitti_submission.main()
+    pngs = sorted(os.listdir(out))
+    assert pngs == ["L_0_0.png", "L_1_0.png"]
+    disp = np.asarray(Image.open(out / pngs[0]))
+    assert disp.dtype == np.uint16 and disp.shape == (32, 64)
+
+
+def test_demo_cli(fake_root, tmp_path, monkeypatch):
+    from temporalstereo_tpu.cli import demo
+
+    out = tmp_path / "demo_out"
+    monkeypatch.setattr(sys, "argv", [
+        "demo", "--config-file", "configs/sceneflow.yaml",
+        "--output-dir", str(out), "--max-samples", "1",
+        *_opts(fake_root)])
+    monkeypatch.chdir("/root/repo")
+    demo.main()
+    files = os.listdir(out)
+    assert files, "demo wrote no panels"
