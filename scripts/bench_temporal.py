@@ -4,8 +4,11 @@ Measures the full online step: memory-spliced backbone + pose reprojection +
 fused softmax splat + local map + aggregation — the mode of the reference's
 video_inference.py.  Run: python scripts/bench_temporal.py
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -55,13 +58,45 @@ def main():
     prev = init_prev_info(model, b, (h, w), mem_shapes,
                           model.precise_cfg.get("topk", 2), model.dtype)
 
+    # no donate_argnums: init_prev_info aliases zero buffers across pytree
+    # leaves (CostMemory.zeros), and donating an aliased buffer is invalid
     @jax.jit
     def step(left, right, prev):
         outputs, new_prev = streaming_step(
             model, variables, left, right, prev, K, baseline, T)
         return outputs["disps"][0], new_prev
 
+    # scan-chained: F distinct frames inside one dispatch, prev carried
+    # through the scan — the state dependency serializes frames exactly as
+    # online streaming does, but without per-dispatch tunnel latency
+    frames = 8
+    lefts = jnp.stack([left + 0.01 * i for i in range(frames)])
+    rights = jnp.stack([right + 0.01 * i for i in range(frames)])
+
+    @jax.jit
+    def stream_chunk(lefts, rights, prev):
+        def body(p, lr):
+            l, r = lr
+            outputs, new_p = streaming_step(
+                model, variables, l, r, p, K, baseline, T)
+            return new_p, outputs["disps"][0]
+        new_prev, disps = jax.lax.scan(body, prev, (lefts, rights))
+        return disps, new_prev
+
     print("compiling...", file=sys.stderr, flush=True)
+    disps, prev_s = stream_chunk(lefts, rights, prev)
+    jax.block_until_ready((disps, prev_s))
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        disps, prev_s = stream_chunk(lefts, rights, prev_s)
+        jax.block_until_ready(disps)
+        times.append((time.perf_counter() - t0) / frames)
+    times.sort()
+    dt = times[len(times) // 2]
+    print(f"temporal streaming (scan-chained, device-serial): "
+          f"{1e3 * dt:.2f} ms/frame = {b / dt:.1f} fps @{h}x{w} bf16")
+
     disp, prev = step(left, right, prev)
     jax.block_until_ready((disp, prev))
 
@@ -75,7 +110,8 @@ def main():
         times.append((time.perf_counter() - t0) / chunk)
     times.sort()
     dt = times[len(times) // 2]
-    print(f"temporal streaming: {1e3 * dt:.2f} ms/frame = {b / dt:.1f} fps "
+    print(f"temporal streaming (per-dispatch, includes ~25 ms tunnel "
+          f"latency pipelining): {1e3 * dt:.2f} ms/frame = {b / dt:.1f} fps "
           f"@{h}x{w} bf16")
 
 

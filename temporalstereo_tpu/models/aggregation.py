@@ -60,8 +60,10 @@ class CostMemory:
 
     @staticmethod
     def zeros(b: int, h8: int, w8: int, topk: int, dtype=jnp.float32):
+        # distinct buffers (not one aliased array): donating an aliased
+        # input buffer is an XLA error, and streaming callers donate state
         z = jnp.zeros((b, h8, w8, topk), dtype)
-        return CostMemory(z, z, jnp.zeros((), jnp.bool_))
+        return CostMemory(z, jnp.zeros_like(z), jnp.zeros((), jnp.bool_))
 
     def gated(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         g = self.valid.astype(self.disp_sample.dtype)

@@ -24,9 +24,13 @@ import jax.numpy as jnp
 
 
 def _target_coords(flow: jnp.ndarray):
+    # f32 coordinate math regardless of flow dtype: bf16 integers > 256
+    # step by 2, which would mis-round target cells at W > 256 (same fix as
+    # ops.warp.shift_1d)
     b, h, w, _ = flow.shape
-    xs = jax.lax.broadcasted_iota(flow.dtype, (b, h, w), 2) + flow[..., 0]
-    ys = jax.lax.broadcasted_iota(flow.dtype, (b, h, w), 1) + flow[..., 1]
+    f = flow.astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2) + f[..., 0]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1) + f[..., 1]
     return xs, ys
 
 
@@ -85,7 +89,8 @@ def summation_splat_scatter(values: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarr
         yi = y0.astype(jnp.int32) + dy
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         idx = jnp.where(valid, yi * w + xi, 0).reshape(b, -1)
-        contrib = (values * (wgt * valid.astype(values.dtype))[..., None])
+        contrib = (values * (wgt.astype(values.dtype)
+                             * valid.astype(values.dtype))[..., None])
         out = out.at[jnp.arange(b)[:, None], idx].add(contrib.reshape(b, -1, c))
     return out.reshape(b, h, w, c)
 

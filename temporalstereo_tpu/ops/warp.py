@@ -37,12 +37,15 @@ def grid_sample(img: jnp.ndarray, coords: jnp.ndarray,
     padding_mode: 'zeros' masks each out-of-range tap; 'border' clamps.
     """
     b, h, w, c = img.shape
-    x, y = coords[..., 0], coords[..., 1]
+    # f32 coordinates regardless of input dtype (bf16 integers > 256 step
+    # by 2 — see shift_1d)
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
+    fx = (x - x0).astype(img.dtype)
+    fy = (y - y0).astype(img.dtype)
 
     def tap(xi, yi, weight):
         if padding_mode == "zeros":
@@ -241,11 +244,15 @@ def inverse_warp_3d(img: jnp.ndarray, disp: jnp.ndarray,
     if img.ndim == 4:
         img = img[:, None]
     img = jnp.broadcast_to(img, (b, d, h, w, c))
-    xs = jax.lax.broadcasted_iota(disp.dtype, (b, d, h, w), 3) + disp
-    ys = jax.lax.broadcasted_iota(disp.dtype, (b, d, h, w), 2) + disp_y
+    # f32 coordinate math (see shift_1d: bf16 integers > 256 step by 2)
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (b, d, h, w), 3)
+          + disp.astype(jnp.float32))
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (b, d, h, w), 2)
+          + disp_y.astype(jnp.float32))
 
     x0, y0 = jnp.floor(xs), jnp.floor(ys)
-    fx, fy = xs - x0, ys - y0
+    fx = (xs - x0).astype(img.dtype)
+    fy = (ys - y0).astype(img.dtype)
 
     def tap(xi, yi, weight):
         if padding_mode == "zeros":
