@@ -27,9 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
-def _trace_events(fn, args, iters=6):
-    """Run fn(*args) under the profiler; return [(op_name, total_s, count)]."""
-    f = jax.jit(fn)
+def _trace_events(f, args, iters=6):
+    """Run jitted f(*args) under the profiler; return op totals/counts and
+    the per-iteration dispatch wall time."""
     jax.block_until_ready(f(*args))
     tmp = tempfile.mkdtemp(prefix="ts_profile_")
     try:
@@ -48,7 +48,8 @@ def _trace_events(fn, args, iters=6):
         xs.ParseFromString(open(files[0], "rb").read())
         totals = collections.Counter()
         counts = collections.Counter()
-        step_total = 0.0
+        jit_total = 0.0
+        step_marker_total = 0.0
         for p in xs.planes:
             if "TPU" not in p.name:
                 continue
@@ -56,15 +57,21 @@ def _trace_events(fn, args, iters=6):
                 for ev in line.events:
                     md = p.event_metadata[ev.metadata_id]
                     name = md.name
-                    # whole-dispatch rollup events: "jit_<fn>" entries and
-                    # bare iteration numbers ("0".."5") — these measure the
-                    # wall time of one step, not an op
-                    if name.startswith("jit_") or name.isdigit():
-                        step_total += ev.duration_ps / 1e12
+                    # whole-dispatch rollup events: "jit_<fn>" module events
+                    # and bare step numbers ("0".."5") — both measure the
+                    # wall of one dispatch. A trace can carry either or both
+                    # lines, so track them separately and take the max
+                    # rather than double-counting.
+                    if name.startswith("jit_"):
+                        jit_total += ev.duration_ps / 1e12
+                        continue
+                    if name.isdigit():
+                        step_marker_total += ev.duration_ps / 1e12
                         continue
                     totals[name] += ev.duration_ps / 1e12
                     counts[name] += 1
-        return totals, counts, step_total / max(iters, 1)
+        return (totals, counts,
+                max(jit_total, step_marker_total) / max(iters, 1))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -164,11 +171,13 @@ def main(argv=None):
             return outputs["disps"][0]
         fn_args = (left, right)
 
-    totals, counts, step_s = _trace_events(step, fn_args)
+    jitted = jax.jit(step)
+    totals, counts, step_s = _trace_events(jitted, fn_args)
     grand = sum(totals.values())
 
     # join instruction names with HLO op_name metadata -> model-scope table
-    hlo_txt = jax.jit(step).lower(*fn_args).compile().as_text()
+    # (reuses the same jitted handle — no second trace/lower)
+    hlo_txt = jitted.lower(*fn_args).compile().as_text()
     op_names = {}
     for line in hlo_txt.splitlines():
         line = line.strip()

@@ -72,12 +72,13 @@ def write_pfm(path: str, image: np.ndarray, scale: float = 1.0) -> None:
 
 def _load_png16(path: str) -> np.ndarray:
     """uint16 PNG via the native zlib decoder, PIL fallback."""
-    from .native import decode_png
+    from .native import available, decode_png
 
-    with open(path, "rb") as f:
-        raw = decode_png(f.read())
-    if raw is not None:
-        return raw.astype(np.float32)
+    if available():
+        with open(path, "rb") as f:
+            raw = decode_png(f.read())
+        if raw is not None:
+            return raw.astype(np.float32)
     return np.asarray(Image.open(path), dtype=np.float32)
 
 
@@ -155,10 +156,12 @@ def load_flo(path: str) -> np.ndarray:
 
 def load_kitti_flow(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """KITTI png flow: (value-2^15)/64, third channel = valid mask."""
-    from .native import decode_png
+    from .native import available, decode_png
 
-    with open(path, "rb") as f:
-        raw = decode_png(f.read())
+    raw = None
+    if available():
+        with open(path, "rb") as f:
+            raw = decode_png(f.read())
     if raw is None or raw.ndim != 3 or raw.shape[-1] < 3:
         raw = np.asarray(Image.open(path), dtype=np.float32)
     else:
@@ -199,13 +202,16 @@ def load_pose_file(path: str, invert: bool = True) -> np.ndarray:
 def load_image(path: str) -> np.ndarray:
     """RGB image in [0, 1] float32, [H, W, 3]."""
     if path.lower().endswith(".png"):
-        from .native import decode_png
+        from .native import available, decode_png
 
-        with open(path, "rb") as f:
-            raw = decode_png(f.read())
-        if raw is not None and raw.dtype == np.uint8:
-            if raw.ndim == 2:
-                raw = np.repeat(raw[..., None], 3, axis=-1)
-            return raw[..., :3].astype(np.float32) / 255.0
+        if available():
+            with open(path, "rb") as f:
+                raw = decode_png(f.read())
+            if raw is not None and raw.dtype == np.uint8:
+                if raw.ndim == 2:
+                    raw = raw[..., None]
+                if raw.shape[-1] < 3:  # gray / gray+alpha -> RGB
+                    raw = np.repeat(raw[..., :1], 3, axis=-1)
+                return raw[..., :3].astype(np.float32) / 255.0
     img = Image.open(path).convert("RGB")
     return np.asarray(img, dtype=np.float32) / 255.0

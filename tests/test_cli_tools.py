@@ -62,7 +62,8 @@ def test_kitti_submission_cli(fake_root, tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "kitti_submission", "--config-file", "configs/sceneflow.yaml",
         "--output-dir", str(out), *_opts(fake_root)])
-    monkeypatch.chdir("/root/repo")
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     kitti_submission.main()
     pngs = sorted(os.listdir(out))
     assert pngs == ["L_0_0.png", "L_1_0.png"]
@@ -78,7 +79,8 @@ def test_demo_cli(fake_root, tmp_path, monkeypatch):
         "demo", "--config-file", "configs/sceneflow.yaml",
         "--output-dir", str(out), "--max-samples", "1",
         *_opts(fake_root)])
-    monkeypatch.chdir("/root/repo")
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     demo.main()
     files = os.listdir(out)
     assert files, "demo wrote no panels"
