@@ -1,13 +1,21 @@
-"""End-to-end benchmark: flagship single-frame forward at KITTI eval size.
+"""End-to-end benchmark: flagship TEMPORAL streaming at KITTI eval size.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The headline is the flagship mode — temporal streaming (memory-spliced
+backbone + pose reprojection + softmax splat + cost memory + local map), the
+mode of the reference's video_inference.py / multi_frame_forward
+(TemporalStereo.py:250-324) — measured scan-chained: 8 distinct frames per
+dispatch with the PrevInfo carry serializing them on-device exactly like
+online streaming, without per-dispatch tunnel latency.
+
+Also reported (stderr + JSON extras): single-frame fps and MFU (achieved
+TFLOP/s from XLA's compiled cost analysis / chip peak).
 
 Baseline context: the reference paper (TemporalStereo, arXiv 2211.13755)
-reports ~24 fps end-to-end on KITTI-size frames on an RTX-class GPU; the
-in-repo op baselines are GTX-3090 microbenchmarks (BASELINE.md).  We bench
-frames/s of the full temporal-capable network (single-frame mode) at
-384x1248 on one TPU chip and report vs_baseline = fps / 24.0.
+reports ~24 fps end-to-end on KITTI-size frames on an RTX-class GPU;
+vs_baseline = temporal fps / 24.0.
 """
 import json
 import sys
@@ -24,34 +32,105 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 BASELINE_FPS = 24.0  # reference end-to-end throughput (paper runtime ~42 ms)
+# bf16 compute peak / HBM bandwidth of one chip
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5p": 459e12,
+              "TPU v4": 275e12, "TPU v6 lite": 918e12}
+PEAK_HBM_BPS = {"TPU v5 lite": 819e9, "TPU v5e": 819e9, "TPU v5p": 2765e9,
+                "TPU v4": 1228e9, "TPU v6 lite": 1640e9}
+
+
+def _chip_peak(table=PEAK_FLOPS, default=197e12) -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return default
+
+
+def _median_time(fn, *args, iters=8):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
     from temporalstereo_tpu.config import get_cfg
-    from temporalstereo_tpu.models import build_model
+    from temporalstereo_tpu.models import (
+        backbone_memory_shapes, build_model, init_prev_info)
+    from temporalstereo_tpu.models.temporal import streaming_step
 
-    cfg = get_cfg(opts=["TRAINER.PRECISION", "bf16"])
+    cfg = get_cfg(opts=[
+        "TRAINER.PRECISION", "bf16",
+        "MODEL.WITH_PREVIOUS", "True",
+        "MODEL.USE_PAST_COST", "True",
+        "MODEL.LOCAL_MAP_SIZE", "3",
+        "MODEL.BACKBONE.MEMORY_PERCENT", "0.5",
+    ])
     model = build_model(cfg)
 
     b, h, w = 1, 384, 1248
+    frames = 8
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
     right = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    K = jnp.asarray(
+        np.tile(np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]],
+                         np.float32), (b, 1, 1)))
+    baseline_m = jnp.full((b,), 0.54, jnp.float32)
+    T_np = np.eye(4, dtype=np.float32)
+    T_np[0, 3] = 0.02
+    T_np[2, 3] = -0.5
+    T = jnp.asarray(np.tile(T_np, (b, 1, 1)))
 
     print("bench: init...", file=sys.stderr, flush=True)
     variables = jax.jit(
         lambda r: model.init({"params": r}, left, right, None, False))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
-    print("bench: compiling forward...", file=sys.stderr, flush=True)
 
-    # streaming throughput: F distinct frames processed sequentially inside
-    # one dispatch (lax.map) — mirrors online video inference and amortizes
-    # host->device dispatch latency, while every frame is genuinely computed.
-    frames = 8
+    mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
+    prev = init_prev_info(model, b, (h, w), mem_shapes,
+                          model.precise_cfg.get("topk", 2), model.dtype)
+
     lefts = jnp.stack([left + 0.01 * i for i in range(frames)])
     rights = jnp.stack([right + 0.01 * i for i in range(frames)])
 
+    # -------- flagship temporal streaming, scan-chained (the headline) -----
+    @jax.jit
+    def stream_chunk(lefts, rights, prev):
+        def body(p, lr):
+            l, r = lr
+            outputs, new_p = streaming_step(
+                model, variables, l, r, p, K, baseline_m, T)
+            return new_p, outputs["disps"][0]
+        new_prev, disps = jax.lax.scan(body, prev, (lefts, rights))
+        return disps, new_prev
+
+    print("bench: compiling temporal stream...", file=sys.stderr, flush=True)
+    lowered = stream_chunk.lower(lefts, rights, prev)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        flops_per_frame = float(cost["flops"]) / frames
+        bytes_per_frame = float(cost.get("bytes accessed", float("nan"))
+                                ) / frames
+    except Exception:
+        flops_per_frame = bytes_per_frame = float("nan")
+
+    dt_temporal = _median_time(stream_chunk, lefts, rights, prev) / frames
+    fps_temporal = b / dt_temporal
+    achieved = flops_per_frame * b / dt_temporal
+    mfu = achieved / _chip_peak()
+    hbm_util = (bytes_per_frame * b / dt_temporal
+                ) / _chip_peak(PEAK_HBM_BPS, 819e9)
+
+    # -------- single-frame forward (secondary) -----------------------------
     @jax.jit
     def forward_stream(lefts, rights):
         def one(pair):
@@ -60,24 +139,26 @@ def main():
             return outputs["disps"][0]
         return jax.lax.map(one, (lefts, rights))
 
-    out = forward_stream(lefts, rights)
-    jax.block_until_ready(out)
+    print("bench: compiling single-frame...", file=sys.stderr, flush=True)
+    dt_single = _median_time(forward_stream, lefts, rights) / frames
+    fps_single = b / dt_single
 
-    iters = 10
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(forward_stream(lefts, rights))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2] / frames
+    print(f"bench: temporal {fps_temporal:.2f} fps "
+          f"({1e3 * dt_temporal:.2f} ms/frame), single-frame "
+          f"{fps_single:.2f} fps, {achieved / 1e12:.2f} TFLOP/s achieved "
+          f"(MFU {100 * mfu:.1f}% of {_chip_peak() / 1e12:.0f} TF peak, "
+          f"HBM {100 * hbm_util:.1f}% of peak BW)",
+          file=sys.stderr, flush=True)
 
-    fps = b / dt
     print(json.dumps({
-        "metric": "temporalstereo_fwd_fps_384x1248",
-        "value": round(fps, 2),
+        "metric": "temporalstereo_streaming_fps_384x1248",
+        "value": round(fps_temporal, 2),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps_temporal / BASELINE_FPS, 3),
+        "single_frame_fps": round(fps_single, 2),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu": round(mfu, 4),
+        "hbm_util": round(hbm_util, 4),
     }))
 
 

@@ -31,7 +31,7 @@ def main() -> None:
     cfg = get_cfg(args.config_file, args.opts)
     trainer = Trainer(cfg, multihost=args.multihost)
     trainer.fit()
-    trainer.validate(cfg.TRAINER.MAX_EPOCHS)  # final test pass
+    trainer.test()  # post-fit pass on DATA.TEST (ref dist_train.py:107-114)
     trainer.metrics.close()
 
 

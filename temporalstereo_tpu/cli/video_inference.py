@@ -38,9 +38,9 @@ def main() -> None:
     from PIL import Image
 
     from ..config import get_cfg
-    from ..data.formats import load_image, load_pose_file, write_kitti_disp
+    from ..data.formats import (load_disparity, load_image, load_pose_file,
+                                write_kitti_disp)
     from ..data.transforms import normalize, resize_image
-    from ..data.evaluation import calc_error
     from ..models import (backbone_memory_shapes, build_model, init_prev_info)
     from ..models.temporal import streaming_step
     from ..training.checkpoint import load_weights, warm_start
@@ -92,7 +92,10 @@ def main() -> None:
         model, variables, l, r, pv, jnp.asarray(K), jnp.asarray(baseline), T))
 
     os.makedirs(args.log_dir, exist_ok=True)
-    errors = []
+    # optional GT: data_root/disp_gt/<image name stem>.{png,pfm,npy}
+    # (reference video_inference.py:289-293)
+    gt_dir = os.path.join(args.data_root, "disp_gt")
+    errors = []  # (frame index, epe, 3pe%) for frames with GT
     t_prev_inv = None
     for i, name in enumerate(names):
         left = resize_image(load_image(os.path.join(left_dir, name)), (h, w))
@@ -119,9 +122,50 @@ def main() -> None:
         color = disp_to_color(disp)
         Image.fromarray((color * 255).astype(np.uint8)).save(
             os.path.join(args.log_dir, f"{stem}_color.png"))
-        print(f"[{i + 1}/{len(names)}] {name}: {dt * 1000:.1f} ms")
 
+        # per-frame EPE / 3PE vs GT at inference resolution (reference
+        # video_inference.py:327-340: valid = gt>0 & gt<192, 3PE in percent)
+        msg = f"[{i + 1}/{len(names)}] {name}: {dt * 1000:.1f} ms"
+        gt_path = _find_gt(gt_dir, stem)
+        if gt_path:
+            gt = load_disparity(gt_path)
+            est = disp
+            if gt.shape != est.shape:
+                # evaluate at GT resolution: upsample the estimate and scale
+                # values by the width ratio (reference visualize, :321-324)
+                gh, gw = gt.shape
+                est = np.asarray(Image.fromarray(
+                    est * (gw / est.shape[1])).resize((gw, gh),
+                                                      Image.BILINEAR))
+            valid = ((gt > 0) & (gt < 192)).astype(np.float64)
+            n = max(valid.sum(), 1.0)
+            abs_err = np.abs(gt - est) * valid
+            epe = float(abs_err.sum() / n)
+            perct = float((abs_err > 3).astype(np.float64).sum() / n * 100)
+            errors.append((i, epe, perct))
+            msg += f"  EPE {epe:.3f}  3PE {perct:.2f}%"
+        print(msg)
+
+    if errors:
+        err_path = os.path.join(args.log_dir, "error.txt")
+        avg_epe = sum(e for _, e, _ in errors) / len(errors)
+        avg_3pe = sum(p for _, _, p in errors) / len(errors)
+        with open(err_path, "w") as fp:
+            for idx, epe, perct in errors:
+                fp.write(f"{idx:04d}: {epe:.4f} {perct:.4f}\n")
+            fp.write(f"Sequence average EPE: {avg_epe:.4f}, "
+                     f"3PE: {avg_3pe:.4f}\n")
+        print(f"Sequence average EPE: {avg_epe:.4f}, 3PE: {avg_3pe:.4f}")
+        print(f"wrote {len(errors)} errors to {err_path}")
     print(f"done -> {args.log_dir}")
+
+
+def _find_gt(gt_dir: str, stem: str) -> str:
+    for ext in (".png", ".pfm", ".npy"):
+        p = os.path.join(gt_dir, stem + ext)
+        if os.path.exists(p):
+            return p
+    return ""
 
 
 if __name__ == "__main__":

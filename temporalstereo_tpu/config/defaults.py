@@ -70,7 +70,9 @@ def get_default_config() -> CN:
     _C.TPU.MESH = CN()
     _C.TPU.MESH.DATA = -1       # -1 => all devices on the data axis
     _C.TPU.MESH.AXIS_NAMES = ("data",)
-    _C.TPU.USE_PALLAS = True    # enable pallas kernels where available
+    # pallas kernels: off by default — measured net-negative in-model on v5e
+    # (pallas_call is a fusion barrier; see ops/cost.py:_use_pallas_cost)
+    _C.TPU.USE_PALLAS = False
     _C.TPU.REMAT = False        # jax.checkpoint the per-frame forward
     _C.TPU.DONATE = True        # donate train-state buffers to the step fn
 
@@ -110,6 +112,7 @@ def get_default_config() -> CN:
 
     _C.MODEL.BACKBONE = CN()
     _C.MODEL.BACKBONE.NAME = "TEMPORALSTEREO"
+    _C.MODEL.BACKBONE.VARIANT = "v2s"  # "v2s" | "tiny" (tests/dry-runs)
     _C.MODEL.BACKBONE.IN_PLANES = 3
     _C.MODEL.BACKBONE.MEMORY_PERCENT = 1 / 8
     _C.MODEL.BACKBONE.NORM = "BN"

@@ -64,6 +64,14 @@ class Projection:
         rect = (self.R_rect @ self.T_velo_to_cam @ homo.T).T
         return rect[:, :3]
 
+    def rect_to_velo(self, points: np.ndarray) -> np.ndarray:
+        """Inverse rigid transform rect -> velodyne (reference
+        project_rect_to_velo, projection.py:114-124)."""
+        homo = to_homogeneous(points)
+        inv = np.linalg.inv(self.R_rect @ self.T_velo_to_cam)
+        velo = (inv @ homo.T).T
+        return velo[:, :3]
+
     def rect_to_image(self, points: np.ndarray) -> np.ndarray:
         homo = to_homogeneous(points)
         img = (self.P @ homo.T).T
@@ -71,6 +79,31 @@ class Projection:
 
     def velo_to_image(self, points: np.ndarray) -> np.ndarray:
         return self.rect_to_image(self.velo_to_rect(points))
+
+    def depth_to_rect(self, depth: np.ndarray, image: np.ndarray = None):
+        """Unproject a depth map to rectified-camera 3D points, exactly
+        inverting ``rect_to_image`` (incl. the P[:, 3] camera offset), with
+        optional per-point color (reference depth_to_rect_with_color,
+        projection.py:233-260).
+
+        Returns (points [N, 3], color [N, C] or None)."""
+        v, u = np.where(depth > 0.0)
+        z = depth[v, u].astype(np.float64)
+        P = self.P
+        # projective depth includes the rectified P's last-row offset:
+        # [u, v, 1] * zp = P @ [X, Y, Z, 1], zp = Z + P[2, 3]
+        zp = z + P[2, 3]
+        x = (u * zp - P[0, 2] * z - P[0, 3]) / P[0, 0]
+        y = (v * zp - P[1, 2] * z - P[1, 3]) / P[1, 1]
+        points = np.stack([x, y, z], axis=1)
+        color = image[v, u] if image is not None else None
+        return points, color
+
+    def depth_to_velo(self, depth: np.ndarray) -> np.ndarray:
+        """Depth map -> velodyne-frame point cloud (the reference's
+        rect->velo composition, projection.py:188-201 inverse direction)."""
+        points, _ = self.depth_to_rect(depth)
+        return self.rect_to_velo(points)
 
     def velo_to_depth_map(self, points: np.ndarray, shape) -> np.ndarray:
         """Sparse depth map from a velodyne scan (reference

@@ -11,6 +11,7 @@ TPU-native re-design of reference ``architecture/data/utils/``:
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional, Tuple
 
@@ -98,6 +99,21 @@ def write_kitti_disp(path: str, disp: np.ndarray) -> None:
 
 def load_kitti_depth(path: str) -> np.ndarray:
     return _load_png16(path) / 256.0
+
+
+def load_disparity(path: str) -> np.ndarray:
+    """Generic disparity reader dispatching on extension (the reference's
+    read_disparity, video_inference.py:41-60): .pfm (SceneFlow), uint16 .png
+    (KITTI), .npy."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".pfm":
+        disp, _ = load_pfm(path)
+        return np.ascontiguousarray(disp).astype(np.float32)
+    if ext == ".png":
+        return load_kitti_disp(path)
+    if ext == ".npy":
+        return np.load(path).astype(np.float32)
+    raise ValueError(f"unsupported disparity format: {path}")
 
 
 # ---------------------------------------------------------- SceneFlow --

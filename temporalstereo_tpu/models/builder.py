@@ -32,6 +32,9 @@ def _stage_cfg(node: ConfigNode, with_fusion: bool = True) -> Dict[str, Any]:
 
 def build_model(cfg: ConfigNode, dtype=None) -> TemporalStereoNet:
     """Build the flagship TemporalStereo network from a config tree."""
+    from ..ops.cost import configure_pallas
+
+    configure_pallas(cfg.TPU.get("USE_PALLAS", False))
     m = cfg.MODEL
     backbone_cfg = {
         "memory_percent": (m.BACKBONE.get("MEMORY_PERCENT", 0.0)

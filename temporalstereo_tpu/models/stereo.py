@@ -106,6 +106,10 @@ class TemporalStereoNet(nn.Module):
             "left_feats": l_fms,
             "right_feats": r_fms,
         }
+        if local_map is not None:
+            # the warped local-map hypotheses actually consumed this frame
+            # (reference outputs[('local_map', 0, 'l')], :302-303)
+            outputs["local_map"] = local_map
 
         if prev is not None:
             # geometry state stays f32: disparities up to MAX_DISP have a

@@ -58,12 +58,17 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
                         batch: Dict[str, jnp.ndarray], train: bool = False,
                         previous_with_gradient: bool = False,
                         splat_method: str = "einsum",
-                        mutable: Tuple[str, ...] = ()):
+                        mutable: Tuple[str, ...] = (),
+                        remat: bool = False):
     """Run the temporal window; return (outputs of final frame, new_variables,
     final PrevInfo).
 
     ``new_variables`` is the (possibly updated) variable dict when ``mutable``
     includes 'batch_stats' and train=True, else ``variables`` unchanged.
+    ``remat`` (cfg TPU.REMAT) wraps each per-frame forward in
+    ``jax.checkpoint`` so the backward pass recomputes per-frame activations
+    instead of holding them — the memory lever for long windows
+    (FRAME_IDXS=[-10..0], reference configs/kitti2015-multi.yaml).
     """
     left, right = batch["left"], batch["right"]
     t, b, full_h, full_w, _ = left.shape
@@ -93,7 +98,8 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
             prev = _maybe_warp(model, prev, K, baseline, t_p2n[i], full_size,
                                splat_method)
             outputs, variables, prev = _apply(
-                model, variables, left[i], right[i], prev, train, mutable)
+                model, variables, left[i], right[i], prev, train, mutable,
+                remat)
             all_outputs.append(outputs)
         return all_outputs[-1], variables, prev
 
@@ -106,6 +112,11 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
             _, new_prev = model.apply(variables, li, ri, prev, False)
             return jax.lax.stop_gradient(new_prev), None
 
+        if remat:
+            # no gradient flows through past frames, but without remat XLA
+            # still buffers every scan iteration's intermediates for the
+            # (dead) backward; checkpoint keeps the window O(1) in t
+            frame_step = jax.checkpoint(frame_step)
         prev, _ = jax.lax.scan(
             frame_step, prev0, (left[:-1], right[:-1], t_p2n[:-1]))
     else:
@@ -113,13 +124,24 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
 
     prev = _maybe_warp(model, prev, K, baseline, t_p2n[-1], full_size,
                        splat_method)
+    # the final (loss-bearing) frame is NOT checkpointed: backprop through one
+    # frame needs its activations either way, a whole-forward checkpoint here
+    # would only add a redundant recompute
     return _apply(model, variables, left[-1], right[-1], prev, train, mutable)
 
 
-def _apply(model, variables, left, right, prev, train, mutable):
+def _apply(model, variables, left, right, prev, train, mutable,
+           remat: bool = False):
     if train and mutable:
-        (outputs, new_prev), updates = model.apply(
-            variables, left, right, prev, True, mutable=list(mutable))
+        def fwd(variables, left, right, prev):
+            return model.apply(variables, left, right, prev, True,
+                               mutable=list(mutable))
+
+        if remat:
+            # per-frame checkpoint for BPTT (previous_with_gradient): store
+            # only frame inputs/carries, recompute activations in backward
+            fwd = jax.checkpoint(fwd)
+        (outputs, new_prev), updates = fwd(variables, left, right, prev)
         new_vars = {**variables, **updates}
         return outputs, new_vars, new_prev
     outputs, new_prev = model.apply(variables, left, right, prev, train)

@@ -18,33 +18,47 @@ from .warp import shift_1d
 
 CHANNELS_PER_GROUP = 8
 
+# Config-driven pallas toggle (cfg.TPU.USE_PALLAS via configure_pallas);
+# the TS_USE_PALLAS* env vars override for per-kernel experiments.
+_PALLAS_ENABLED = False
+
+
+def configure_pallas(enabled: bool) -> None:
+    """Consume cfg.TPU.USE_PALLAS (called by models.build_model)."""
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(enabled)
+
 
 def _use_pallas() -> bool:
-    """Opt-in pallas kernels (TS_USE_PALLAS=1).
+    """Pallas shift kernel toggle.
 
-    Default off: the XLA lowering already reaches ~40 fps at KITTI size on a
-    v5e, and this machine's remote-compile tunnel currently 500s on
-    Mosaic-in-model programs; the kernel itself passes parity tests and runs
-    standalone (ops/pallas/shift.py)."""
+    Config default off: the XLA lowering already reaches ~40 fps at KITTI
+    size on a v5e; the kernel itself passes parity tests and runs standalone
+    (ops/pallas/shift.py)."""
     import os
 
-    return os.environ.get("TS_USE_PALLAS", "0") == "1"
+    env = os.environ.get("TS_USE_PALLAS")
+    if env is not None:
+        return env == "1"
+    return _PALLAS_ENABLED
 
 
 def _use_pallas_cost() -> bool:
-    """Opt-in fused cost-volume kernel (TS_USE_PALLAS_COST=1), see
-    ops/pallas/cost.py.
+    """Fused cost-volume kernel toggle, see ops/pallas/cost.py.
 
-    Default off after measuring both ways on a v5e: standalone the kernel
-    beats the XLA lowering 2.3x @1/4 (0.39 vs 0.91 ms, C=128 D=5 bf16) and
-    1.9x @1/8 (0.25 vs 0.47 ms, D=10), but end-to-end the model runs ~6%
+    Config default off after measuring both ways on a v5e: standalone the
+    kernel beats the XLA lowering 2.3x @1/4 (0.39 vs 0.91 ms, C=128 D=5 bf16)
+    and 1.9x @1/8 (0.25 vs 0.47 ms, D=10), but end-to-end the model runs ~6%
     slower (51.4 vs 54.7 fps @384x1248) — pallas_call is a fusion barrier,
     and inside the full graph XLA folds the one-hot construction, concat and
     correlation into neighboring consumers, which the standalone comparison
     cannot capture."""
     import os
 
-    return os.environ.get("TS_USE_PALLAS_COST", "0") == "1"
+    env = os.environ.get("TS_USE_PALLAS_COST")
+    if env is not None:
+        return env == "1"
+    return _PALLAS_ENABLED
 
 
 def _shift(img, disp, padding_mode="zeros"):

@@ -6,6 +6,7 @@ from .mesh import (
     make_sharded_train_step,
     replicate,
     shard_batch,
+    shard_batch_multihost,
 )
 
 __all__ = [k for k in dir() if not k.startswith("_")]

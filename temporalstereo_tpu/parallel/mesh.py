@@ -36,10 +36,14 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 
 def make_data_mesh(global_batch: int,
                    devices: Optional[Sequence[jax.Device]] = None,
-                   axis_name: str = "data") -> Mesh:
+                   axis_name: str = "data",
+                   max_devices: int = -1) -> Mesh:
     """Mesh over the largest device count that divides the global batch
-    (keeps per-replica batches integral)."""
+    (keeps per-replica batches integral).  ``max_devices`` > 0 caps the data
+    axis (cfg TPU.MESH.DATA)."""
     devices = list(devices) if devices is not None else jax.devices()
+    if max_devices > 0:
+        devices = devices[:max_devices]
     n = len(devices)
     while n > 1 and global_batch % n != 0:
         n -= 1
@@ -81,27 +85,49 @@ def _batch_shardings(mesh: Mesh, batch_tree) -> Any:
 
 
 def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True):
-    """jit the train step with state replicated and batch data-sharded."""
+    """jit the train step with EXPLICIT shardings: train state replicated
+    across the mesh, batch sharded over the data axis, outputs (new state,
+    metric scalars) replicated.  Nothing is left to implicit propagation —
+    the layout contract holds on any mesh/host topology.
+
+    The batch pytree's key set is only known at call time, so the jitted
+    function is cached per key set (shapes may still vary freely under one
+    jit — XLA recompiles per shape as usual)."""
     rep = replicate(mesh)
-
-    def shardings_for_batch(batch):
-        return {k: batch_sharding(mesh, k) for k in batch}
-
-    jitted = jax.jit(
-        train_step,
-        donate_argnums=(0,) if donate else (),
-    )
+    cache: Dict[frozenset, Any] = {}
 
     def step(state, batch):
+        keys = frozenset(batch)
+        jitted = cache.get(keys)
+        if jitted is None:
+            batch_shardings = {k: batch_sharding(mesh, k) for k in batch}
+            jitted = jax.jit(
+                train_step,
+                in_shardings=(rep, batch_shardings),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,) if donate else (),
+            )
+            cache[keys] = jitted
         return jitted(state, batch)
 
     return step
 
 
 def make_sharded_eval_step(eval_step, mesh: Mesh):
-    jitted = jax.jit(eval_step)
+    """jit the eval step: variables replicated, batch data-sharded, metric
+    scalars replicated."""
+    rep = replicate(mesh)
+    cache: Dict[frozenset, Any] = {}
 
     def step(variables, batch):
+        keys = frozenset(batch)
+        jitted = cache.get(keys)
+        if jitted is None:
+            batch_shardings = {k: batch_sharding(mesh, k) for k in batch}
+            jitted = jax.jit(eval_step,
+                             in_shardings=(rep, batch_shardings),
+                             out_shardings=rep)
+            cache[keys] = jitted
         return jitted(variables, batch)
 
     return step

@@ -51,13 +51,14 @@ def make_train_step(model: TemporalStereoNet, cfg: ConfigNode,
     """
     l1_loss, wars_loss = build_losses(cfg)
     previous_with_gradient = cfg.MODEL.get("PREVIOUS_WITH_GRADIENT", False)
+    remat = cfg.TPU.get("REMAT", False)
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, new_vars, _ = multi_frame_forward(
             model, variables, batch, train=True,
             previous_with_gradient=previous_with_gradient,
-            mutable=("batch_stats",))
+            mutable=("batch_stats",), remat=remat)
         losses = compute_losses(outputs, batch["disp_gt"][-1],
                                 l1_loss, wars_loss)
         return losses["loss"], (losses, new_vars["batch_stats"])

@@ -31,6 +31,7 @@ from ..parallel import (
     make_sharded_eval_step,
     make_sharded_train_step,
     shard_batch,
+    shard_batch_multihost,
 )
 from ..utils.logging import FileWriter, MetricLogger, format_error_table
 from .checkpoint import CheckpointManager, load_weights, warm_start
@@ -57,9 +58,15 @@ class Trainer:
             jax.distributed.initialize()
         self.is_main = jax.process_index() == 0
         # global batch = per-host batch x hosts; mesh over the largest device
-        # count dividing it (per-replica batches stay integral)
+        # count dividing it (per-replica batches stay integral); TPU.MESH.*
+        # control the axis name and an optional device cap
         global_batch = cfg.DATA.TRAIN.BATCH_SIZE * jax.process_count()
-        self.mesh = make_data_mesh(global_batch)
+        mesh_cfg = cfg.TPU.get("MESH", None)
+        axis = tuple(mesh_cfg.get("AXIS_NAMES", ("data",)))[0] \
+            if mesh_cfg else "data"
+        self.mesh = make_data_mesh(
+            global_batch, axis_name=axis,
+            max_devices=mesh_cfg.get("DATA", -1) if mesh_cfg else -1)
 
         exp_dir = os.path.join(cfg.LOG_DIR, cfg.TRAINER.NAME,
                                cfg.TRAINER.VERSION)
@@ -106,15 +113,43 @@ class Trainer:
     # ------------------------------------------------------------------ --
     def _init_state(self, with_swa: bool) -> TrainState:
         cfg = self.cfg
-        node = cfg.DATA.TRAIN
-        h, w = node.HEIGHT, node.WIDTH
-        left = jnp.zeros((1, h, w, 3), jnp.float32)
+        # Parameter shapes depend only on channel widths, never on the input
+        # resolution, so initialize at the smallest stride-32-compatible size
+        # instead of full TRAIN resolution — avoids a whole extra model
+        # compile before step 1 (the first train step compiles the real size).
+        left = jnp.zeros((1, 64, 96, 3), jnp.float32)
         variables = jax.jit(
             lambda r: self.model.init({"params": r}, left, left, None, False)
         )(jax.random.PRNGKey(cfg.get("SEED", 43)))
+        variables = self._maybe_load_pretrained_backbone(variables)
         return TrainState.create(variables["params"],
                                  variables.get("batch_stats", {}),
                                  self.tx, with_swa=with_swa)
+
+    def _maybe_load_pretrained_backbone(self, variables):
+        """MODEL.BACKBONE.PRETRAINED: path to a timm/torch EfficientNetV2
+        state dict (.pth) or a converted .msgpack — ImageNet warm start of
+        the trunk (reference backbone/TemporalStereo.py:60 pretrained=True)."""
+        path = self.cfg.MODEL.BACKBONE.get("PRETRAINED", "")
+        if not path:
+            return variables
+        if not os.path.exists(path):
+            self.writer.stdout(f"WARNING: MODEL.BACKBONE.PRETRAINED={path} "
+                               "not found; backbone trains from scratch")
+            return variables
+        if path.endswith((".pth", ".pt")):
+            from ..utils.torch_import import warm_start_backbone
+
+            variables, n = warm_start_backbone(
+                variables, path, self.model.backbone_cfg.get("groups"))
+        else:
+            weights = load_weights(path)
+            params, stats, n = warm_start(variables["params"],
+                                          variables.get("batch_stats", {}),
+                                          weights, strict=False)
+            variables = {"params": params, "batch_stats": stats}
+        self.writer.stdout(f"backbone warm start: {n} tensors from {path}")
+        return variables
 
     def _maybe_restore(self) -> None:
         cfg = self.cfg
@@ -157,12 +192,22 @@ class Trainer:
         if self.is_main:
             self.ckpt.save(int(self.state.step), self.state)
 
+    def _shard(self, batch):
+        """Place a loader batch on the mesh.  Single-process: the batch is
+        already global.  Multi-host: each process loaded only its shard
+        (loader num_shards=process_count), so assemble the global array from
+        per-process locals — the reference's DDP per-rank feed
+        (dist_train.py:81-100)."""
+        if jax.process_count() > 1:
+            return shard_batch_multihost(self.mesh, batch)
+        return shard_batch(self.mesh, batch)
+
     def _train_epoch(self, epoch: int, fast_dev: bool = False) -> None:
         cfg = self.cfg
         every_n_steps = max(cfg.CHECKPOINT.get("EVERY_N_TRAIN_STEPS", 0), 0)
         for batch_idx, batch in enumerate(self.train_loader):
             t0 = time.time()
-            sharded = shard_batch(self.mesh, batch)
+            sharded = self._shard(batch)
             self.state, metrics = self.train_step(self.state, sharded)
             step = int(self.state.step)
 
@@ -180,34 +225,55 @@ class Trainer:
                 break
 
     def validate(self, epoch: int) -> Dict[str, float]:
+        return self._run_eval(self.val_loader, epoch, tag="Validation",
+                              prefix="val/")
+
+    def test(self, epoch: Optional[int] = None) -> Dict[str, float]:
+        """Post-fit pass on the DATA.TEST split (the reference's
+        trainer.test after fit, dist_train.py:107-114)."""
+        test_loader = build_dataloader(
+            self.cfg.DATA.TEST, "test",
+            num_shards=jax.process_count(), shard_index=jax.process_index())
+        if epoch is None:
+            epoch = self.cfg.TRAINER.MAX_EPOCHS
+        return self._run_eval(test_loader, epoch, tag="Test", prefix="test/")
+
+    def _run_eval(self, loader, epoch: int, tag: str, prefix: str
+                  ) -> Dict[str, float]:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
+        # Weighted epoch means: per-batch metrics are global means over the
+        # sharded batch (XLA reduces across all devices/hosts inside jit), so
+        # weighting by the global batch size makes the epoch table exact even
+        # with a partial final batch (drop_last=False on val/test).
         sums = defaultdict(float)
-        count = 0
+        total_weight = 0.0
         vis_interval = max(self.cfg.VAL.get("VIS_INTERVAL", 8), 1)
-        vis_batch = epoch % max(len(self.val_loader) // vis_interval, 1)
-        for batch_idx, batch in enumerate(self.val_loader):
-            sharded = shard_batch(self.mesh, batch)
+        vis_batch = epoch % max(len(loader) // vis_interval, 1)
+        for batch_idx, batch in enumerate(loader):
+            weight = batch["left"].shape[1] * jax.process_count()
+            sharded = self._shard(batch)
             metrics = self.eval_step(variables, sharded)
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
-                sums[k] += float(v)
-            count += 1
+                sums[k] += float(v) * weight
+            total_weight += weight
             if batch_idx == vis_batch:
                 self._log_images(variables, batch, epoch)
             if self.cfg.TRAINER.get("FAST_DEV_RUN", False) and batch_idx >= 1:
                 break
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        means = {k: v / max(total_weight, 1) for k, v in sums.items()}
         self.writer.stdout("\n" + "*" * 40 +
-                           f"  Validation on Epoch: {epoch}  " + "*" * 40)
+                           f"  {tag} on Epoch: {epoch}  " + "*" * 40)
         self.writer.stdout(format_error_table(means))
-        self.metrics.log_scalars(int(self.state.step), means, prefix="val/")
+        self.metrics.log_scalars(int(self.state.step), means, prefix=prefix)
         return means
 
     def _log_images(self, variables, batch, epoch: int) -> None:
         """TensorBoard image dumps during validation: input, gt, predicted
-        disparity + error colorbar per scale, search-range maps (the
-        reference's log_image, TemporalStereo.py:488-622)."""
+        disparity + error colorbar per scale, local map, search-range
+        low/high/validity maps (the reference's log_image,
+        TemporalStereo.py:488-622)."""
         if not self.is_main:
             return
         try:
@@ -215,30 +281,68 @@ class Trainer:
 
             from ..data.transforms import denormalize
             from ..models.temporal import multi_frame_forward
+            from ..ops.interpolate import resize_bilinear as _resize
             from ..visualization import (disp_err_to_colorbar, disp_to_color)
 
             jbatch = jax.tree.map(jnp.asarray, batch)
             outputs, _, _ = multi_frame_forward(self.model, variables, jbatch,
                                                 train=False)
             step = int(self.state.step)
-            left = denormalize(batch["left"][-1][0])
-            self.metrics.log_image(step, "val/color_0_l", left)
-            gt = batch["disp_gt"][-1][0, :, :, 0]
-            max_disp = float(gt.max()) if gt.max() > 0 else None
-            if max_disp:
-                self.metrics.log_image(step, "val/disparity_gt",
-                                       disp_to_color(gt, max_disp))
-            for i, d in enumerate(outputs["disps"]):
-                disp = np.asarray(d[0, :, :, 0])
-                self.metrics.log_image(step, f"val/disparity_{i}",
-                                       disp_to_color(disp, max_disp))
+            batch_size = batch["left"].shape[1]
+            full_h, full_w = batch["left"].shape[2:4]
+            max_disp_cfg = self.cfg.get("MAX_DISP", 192)
+            # dump up to VIS_BATCH_INDEX samples (reference writes a maximum
+            # of four images per key, log_image :502)
+            n_vis = min(self.cfg.VAL.get("VIS_BATCH_INDEX", 4), batch_size)
+            for bs in range(n_vis):
+                left = denormalize(batch["left"][-1][bs])
+                self.metrics.log_image(step, f"val/color_0_l/{bs}", left)
+                gt = batch["disp_gt"][-1][bs, :, :, 0]
+                max_disp = float(gt.max()) if gt.max() > 0 else None
                 if max_disp:
-                    err = disp_err_to_colorbar(disp, gt, with_bar=True)
-                    self.metrics.log_image(step, f"val/disp_errorbar_{i}",
-                                           err)
-            for i, sr in enumerate(outputs.get("search_ranges", [])):
-                low = np.asarray(sr["low"][0, :, :, 0])
-                self.metrics.log_image(step, f"val/search_low_{i}",
-                                       disp_to_color(low, max_disp))
+                    self.metrics.log_image(step, f"val/disparity_gt/{bs}",
+                                           disp_to_color(gt, max_disp))
+                for i, d in enumerate(outputs["disps"]):
+                    disp = np.asarray(d[bs, :, :, 0])
+                    self.metrics.log_image(step, f"val/disparity_{i}/{bs}",
+                                           disp_to_color(disp, max_disp))
+                    if max_disp:
+                        err = disp_err_to_colorbar(disp, gt, with_bar=True)
+                        self.metrics.log_image(
+                            step, f"val/disp_errorbar_{i}/{bs}", err)
+                # local-map hypotheses, stacked vertically at full res
+                # (reference :543-557)
+                lm = outputs.get("local_map")
+                if lm is not None:
+                    mh, mw = lm.shape[1:3]
+                    lm_full = np.asarray(_resize(
+                        lm * (full_w / mw), (full_h, full_w))[bs])
+                    stacked = lm_full.transpose(2, 0, 1).reshape(
+                        -1, full_w)
+                    self.metrics.log_image(step, f"val/local_map/{bs}",
+                                           disp_to_color(stacked, max_disp))
+                # search-range low/high + validity mask per level
+                # (reference :566-612)
+                for i, sr in enumerate(outputs.get("search_ranges", [])):
+                    h, w = sr["low"].shape[1:3]
+                    lvl = int(np.log2(max(full_w // w, 1)))
+                    low = np.asarray(_resize(sr["low"] * (full_w / w),
+                                             (full_h, full_w))[bs, :, :, 0])
+                    high = np.asarray(_resize(sr["high"] * (full_w / w),
+                                              (full_h, full_w))[bs, :, :, 0])
+                    self.metrics.log_image(
+                        step, f"val/low_disparity_{lvl}/{bs}",
+                        disp_to_color(low, max_disp))
+                    self.metrics.log_image(
+                        step, f"val/high_disparity_{lvl}/{bs}",
+                        disp_to_color(high, max_disp))
+                    if max_disp:
+                        mask = (gt > 0) & (gt < max_disp_cfg)
+                        valid = mask & (low <= gt) & (high >= gt)
+                        valid = valid | (~mask)
+                        self.metrics.log_image(
+                            step, f"val/search_range_valid_{lvl}/{bs}",
+                            np.repeat(valid[..., None].astype(np.float32),
+                                      3, axis=-1))
         except Exception as e:  # visualization must never kill training
             self.writer.stdout(f"WARNING: image logging failed: {e}")

@@ -167,12 +167,15 @@ def _leaves(tree):
 
 
 def warm_start_backbone(variables: Dict[str, Any], torch_path: str,
-                        groups, backbone_scope: str = "backbone"
+                        groups=None, backbone_scope: str = "backbone"
                         ) -> Tuple[Dict[str, Any], int]:
     """Load a timm checkpoint file and merge it into a model variable dict
     (strict=False semantics on the backbone subtree)."""
+    from ..models.backbone import V2S_GROUPS
     from ..training.checkpoint import warm_start
 
+    if groups is None:
+        groups = V2S_GROUPS
     sd = load_torch_state_dict(torch_path)
     p, s, _ = import_backbone_weights(sd, groups)
     weights = {"params": {backbone_scope: p},

@@ -71,6 +71,50 @@ def test_kitti_submission_cli(fake_root, tmp_path, monkeypatch):
     assert disp.dtype == np.uint16 and disp.shape == (32, 64)
 
 
+def test_video_inference_cli_gt_eval(tmp_path, monkeypatch):
+    """Streaming video CLI: per-frame EPE/3PE vs GT + error.txt sequence
+    averages (reference video_inference.py:289-293, 312-323)."""
+    from temporalstereo_tpu.cli import video_inference
+    from temporalstereo_tpu.data.formats import write_kitti_disp
+
+    h, w = 32, 64
+    rng = np.random.RandomState(1)
+    root = tmp_path / "video"
+    for sub in ("left", "right", "disp_gt"):
+        os.makedirs(root / sub)
+    n_frames = 2
+    for i in range(n_frames):
+        for sub in ("left", "right"):
+            Image.fromarray((rng.rand(h, w, 3) * 255).astype(
+                np.uint8)).save(root / sub / f"{i:04d}.png")
+        write_kitti_disp(str(root / "disp_gt" / f"{i:04d}.png"),
+                         rng.uniform(1, 20, (h, w)).astype(np.float32))
+
+    out = tmp_path / "video_out"
+    monkeypatch.setattr(sys, "argv", [
+        "video_inference", "--config-file", "configs/sceneflow.yaml",
+        "--data-root", str(root), "--log-dir", str(out),
+        "--height", str(h), "--width", str(w),
+        *_opts(str(root))])
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    video_inference.main()
+
+    assert sorted(os.listdir(out)) == [
+        "0000.png", "0000_color.png", "0001.png", "0001_color.png",
+        "error.txt"]
+    lines = (out / "error.txt").read_text().strip().splitlines()
+    assert len(lines) == n_frames + 1
+    for i in range(n_frames):
+        idx, epe, perct = lines[i].split()
+        assert idx == f"{i:04d}:"
+        assert 0.0 <= float(epe) < 192.0
+        assert 0.0 <= float(perct) <= 100.0
+    assert lines[-1].startswith("Sequence average EPE:")
+    avg = np.mean([float(l.split()[1]) for l in lines[:-1]])
+    assert abs(float(lines[-1].split()[3].rstrip(",")) - avg) < 1e-3
+
+
 def test_demo_cli(fake_root, tmp_path, monkeypatch):
     from temporalstereo_tpu.cli import demo
 

@@ -114,6 +114,62 @@ def test_sharded_train_step_8_devices(temporal_model):
     assert int(new_state.step) == 1
 
 
+def test_bn_stats_update_only_from_final_frame(temporal_model):
+    """The BN-across-scan contract (SURVEY §7 hard-part 4): in train mode the
+    scanned past frames run with running statistics (reference
+    eval()+no_grad, TemporalStereo.py:268-274) and batch_stats update ONCE,
+    from the final frame only.  Pinned at the stem BN, whose batch statistics
+    depend only on the frame's images."""
+    cfg, model, variables = temporal_model
+    batch = jax.tree.map(jnp.asarray,
+                         make_batch(np.random.RandomState(7), 3, 1))
+
+    _, new_vars, _ = multi_frame_forward(model, variables, batch, train=True,
+                                         mutable=("batch_stats",))
+
+    def stem_stats(stats):
+        return stats["backbone"]["conv_stem"]["Norm_0"]["BatchNorm_0"]
+
+    actual = stem_stats(new_vars["batch_stats"])
+
+    # expected: one train-mode update from the FINAL frame's images alone
+    _, updates = model.apply(variables, batch["left"][-1], batch["right"][-1],
+                             None, True, mutable=["batch_stats"])
+    expected = stem_stats(updates["batch_stats"])
+    np.testing.assert_allclose(np.asarray(actual["mean"]),
+                               np.asarray(expected["mean"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(actual["var"]),
+                               np.asarray(expected["var"]), rtol=1e-5)
+
+    # counterexample: an update from frame 0's (different) images must differ
+    _, upd0 = model.apply(variables, batch["left"][0], batch["right"][0],
+                          None, True, mutable=["batch_stats"])
+    wrong = stem_stats(upd0["batch_stats"])
+    assert np.abs(np.asarray(actual["mean"])
+                  - np.asarray(wrong["mean"])).max() > 1e-7
+
+
+def test_remat_train_step_matches(temporal_model):
+    """TPU.REMAT wraps the scan body / per-frame forward in jax.checkpoint;
+    loss and gradients must be unchanged."""
+    cfg, model, variables = temporal_model
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx, with_swa=False)
+    batch = jax.tree.map(jnp.asarray,
+                         make_batch(np.random.RandomState(8), 3, 1))
+
+    cfg_remat = get_cfg(opts=tiny_opts(temporal=True) + ["TPU.REMAT", "True"])
+    step_plain = make_train_step(model, cfg)
+    step_remat = make_train_step(model, cfg_remat)
+    _, m_plain = jax.jit(step_plain)(state, batch)
+    _, m_remat = jax.jit(step_remat)(state, batch)
+    np.testing.assert_allclose(float(m_plain["loss"]),
+                               float(m_remat["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_plain["grad_norm"]),
+                               float(m_remat["grad_norm"]), rtol=1e-4)
+
+
 def test_single_frame_model_matches_direct_apply(rng):
     cfg = get_cfg(opts=tiny_opts(temporal=False))
     model = build_model(cfg, dtype=None)

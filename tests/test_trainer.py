@@ -85,6 +85,9 @@ def test_trainer_fast_dev_run(fake_root, tmp_path):
     assert int(trainer.state.step) >= 1
     metrics = trainer.validate(0)
     assert any("epe" in k for k in metrics)
+    # post-fit test pass on DATA.TEST (reference dist_train.py:107-114)
+    tmetrics = trainer.test()
+    assert any("epe" in k for k in tmetrics)
     # checkpoint roundtrip
     latest = trainer.ckpt.latest_step()
     assert latest is not None
