@@ -20,24 +20,77 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def _rgb_to_hsv(rgb: np.ndarray):
+    """Vectorized RGB->HSV on [H, W, 3] floats in [0, 1]."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(axis=-1)
+    minc = rgb.min(axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    safe = np.maximum(delta, 1e-12)
+    h = np.where(maxc == r, (g - b) / safe,
+                 np.where(maxc == g, 2.0 + (b - r) / safe,
+                          4.0 + (r - g) / safe))
+    h = np.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(int) % 6
+    choices = [np.stack(c, axis=-1) for c in
+               ((v, t, p), (q, v, p), (p, v, t),
+                (p, q, v), (t, p, v), (v, p, q))]
+    out = np.select([(i == k)[..., None] for k in range(6)], choices)
+    return out.astype(np.float32)
+
+
+def _blend(img1: np.ndarray, img2: np.ndarray, ratio: float) -> np.ndarray:
+    """torchvision _blend: ratio*img1 + (1-ratio)*img2, clamped to [0, 1]."""
+    return np.clip(ratio * img1 + (1.0 - ratio) * img2, 0.0, 1.0)
+
+
+def _grayscale(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 luma (torchvision rgb_to_grayscale)."""
+    return (0.2989 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])[..., None]
+
+
 def color_jitter(img: np.ndarray, rng: np.random.RandomState,
-                 brightness: float = 0.2, contrast: float = 0.2,
-                 saturation: float = 0.2, hue: float = 0.05,
+                 brightness: Tuple[float, float] = (0.4, 2.0),
+                 contrast: Tuple[float, float] = (0.5, 1.5),
+                 saturation: Tuple[float, float] = (0.5, 1.5),
+                 hue: Tuple[float, float] = (-0.1, 0.1),
                  gamma: Tuple[float, float] = (0.8, 1.2)) -> np.ndarray:
-    """Photometric aug on [H, W, 3] float image in [0, 1]."""
-    out = img
-    b = 1.0 + rng.uniform(-brightness, brightness)
-    out = out * b
-    c = 1.0 + rng.uniform(-contrast, contrast)
-    mean = out.mean()
-    out = (out - mean) * c + mean
-    s = 1.0 + rng.uniform(-saturation, saturation)
-    gray = out.mean(axis=-1, keepdims=True)
-    out = gray + (out - gray) * s
-    if hue > 0:
-        shift = rng.uniform(-hue, hue)
-        # cheap hue rotation via channel mixing
-        out = out + shift * (np.roll(out, 1, axis=-1) - out)
+    """torchvision-semantics ColorJitter + gamma aug on [H, W, 3] floats in
+    [0, 1] — the reference's train-time photometric pipeline with its exact
+    factor ranges (base.py:73-97: ColorJitter((0.4,2.0),(0.5,1.5),(0.5,1.5),
+    (-0.1,0.1)) then AdjustGamma(0.8,1.2)).
+
+    Matches torchvision: the four adjustments run in RANDOM order; blends use
+    ``ratio*img + (1-ratio)*target`` with clamping; hue is a true HSV
+    rotation.
+    """
+    fb = rng.uniform(*brightness)
+    fc = rng.uniform(*contrast)
+    fs = rng.uniform(*saturation)
+    fh = rng.uniform(*hue)
+    out = img.astype(np.float32)
+    for op in rng.permutation(4):
+        if op == 0:  # brightness: blend with zero image
+            out = np.clip(out * fb, 0.0, 1.0)
+        elif op == 1:  # contrast: blend with mean of grayscale
+            out = _blend(out, _grayscale(out).mean(), fc)
+        elif op == 2:  # saturation: blend with grayscale
+            out = _blend(out, _grayscale(out), fs)
+        else:  # hue rotation in HSV
+            h, s, v = _rgb_to_hsv(out)
+            out = _hsv_to_rgb((h + fh) % 1.0, s, v)
     g = rng.uniform(*gamma)
     out = np.clip(out, 0.0, 1.0) ** g
     return np.clip(out, 0.0, 1.0).astype(np.float32)

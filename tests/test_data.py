@@ -139,3 +139,36 @@ def test_eval_resize_scales_K_and_disp(fake_sceneflow):
     # fx scaled by 0.5
     full_fx = 1050.0 / 960 * w
     assert abs(s["K"][0, 0] - full_fx * 0.5) < 1e-3
+
+
+def test_color_jitter_torchvision_semantics():
+    """ColorJitter parity properties (reference base.py:73-97 uses
+    torchvision ColorJitter((0.4,2.0),(0.5,1.5),(0.5,1.5),(-0.1,0.1)) +
+    gamma): identity factors are a no-op, hue is a true HSV rotation,
+    outputs stay in [0, 1]."""
+    from temporalstereo_tpu.data.transforms import (
+        _hsv_to_rgb,
+        _rgb_to_hsv,
+        color_jitter,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 20, 3).astype(np.float32)
+
+    out = color_jitter(img, np.random.RandomState(1), brightness=(1, 1),
+                       contrast=(1, 1), saturation=(1, 1), hue=(0, 0),
+                       gamma=(1, 1))
+    np.testing.assert_allclose(out, img, atol=2e-6)
+
+    h, s, v = _rgb_to_hsv(img)
+    np.testing.assert_allclose(_hsv_to_rgb(h, s, v), img, atol=1e-5)
+
+    red = np.zeros((1, 1, 3), np.float32)
+    red[..., 0] = 1
+    out = color_jitter(red, np.random.RandomState(2), brightness=(1, 1),
+                       contrast=(1, 1), saturation=(1, 1), hue=(0.5, 0.5),
+                       gamma=(1, 1))
+    np.testing.assert_allclose(out[0, 0], [0, 1, 1], atol=1e-5)
+
+    out = color_jitter(img, np.random.RandomState(3))
+    assert out.min() >= 0 and out.max() <= 1 and out.dtype == np.float32
