@@ -33,7 +33,7 @@ def main() -> None:
     from ..data.loader import collate
     from ..models import build_model
     from ..models.temporal import multi_frame_forward
-    from ..training.checkpoint import load_weights, warm_start
+    from ..training.checkpoint import load_any_weights
 
     cfg = get_cfg(args.config_file, args.opts)
     model = build_model(cfg)
@@ -49,11 +49,7 @@ def main() -> None:
         if not _os.path.exists(args.checkpoint):
             raise SystemExit(
                 f"error: checkpoint not found: {args.checkpoint}")
-        weights = load_weights(args.checkpoint)
-        params, stats, n = warm_start(variables["params"],
-                                      variables.get("batch_stats", {}),
-                                      weights)
-        variables = {"params": params, "batch_stats": stats}
+        variables, n = load_any_weights(variables, args.checkpoint)
         print(f"loaded {n} tensors from {args.checkpoint}")
 
     fwd = jax.jit(lambda batch: multi_frame_forward(

@@ -43,7 +43,7 @@ def main() -> None:
     from ..data.transforms import normalize, resize_image
     from ..models import (backbone_memory_shapes, build_model, init_prev_info)
     from ..models.temporal import streaming_step
-    from ..training.checkpoint import load_weights, warm_start
+    from ..training.checkpoint import load_any_weights
     from ..visualization import disp_to_color
 
     cfg = get_cfg(args.config_file, args.opts)
@@ -76,11 +76,7 @@ def main() -> None:
         if not _os.path.exists(args.checkpoint):
             raise SystemExit(
                 f"error: checkpoint not found: {args.checkpoint}")
-        weights = load_weights(args.checkpoint)
-        params, stats, n = warm_start(variables["params"],
-                                      variables.get("batch_stats", {}),
-                                      weights)
-        variables = {"params": params, "batch_stats": stats}
+        variables, n = load_any_weights(variables, args.checkpoint)
         print(f"loaded {n} tensors from {args.checkpoint}")
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))

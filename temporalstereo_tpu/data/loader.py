@@ -49,7 +49,7 @@ class DataLoader:
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.num_shards
+        n = -(-len(self.dataset) // self.num_shards)  # padded shard size
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -59,9 +59,17 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # deterministic per-host shard: contiguous strided slice so every
-        # host sees a disjoint subset of samples (windows stay intact)
+        # deterministic per-host shard: strided slice so every host sees a
+        # disjoint subset of samples (windows stay intact)
         idx = idx[self.shard_index::self.num_shards]
+        if self.num_shards > 1:
+            # pad by wrapping so every host runs the SAME number of batches —
+            # a one-batch difference would desync the SPMD collectives and
+            # hang the mesh (torch DistributedSampler pads identically)
+            target = -(-len(self.dataset) // self.num_shards)
+            if len(idx) < target and len(idx) > 0:
+                pad = np.resize(idx, target - len(idx))
+                idx = np.concatenate([idx, pad])
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
         return idx

@@ -18,8 +18,27 @@ from .warp import shift_1d
 
 CHANNELS_PER_GROUP = 8
 
-# Config-driven pallas toggle (cfg.TPU.USE_PALLAS via configure_pallas);
-# the TS_USE_PALLAS* env vars override for per-kernel experiments.
+# Single pallas switch: cfg.TPU.USE_PALLAS, consumed by models.build_model
+# via configure_pallas().  Default OFF — a measured decision, not a hedge:
+#
+# Roofline argument (v5e, bf16, 384x1248, profiler + compiled cost analysis):
+#   * The whole temporal step runs at 0.7% MFU and ~11% of HBM peak — the
+#     network is hundreds of small ops over small spatial extents, i.e.
+#     LATENCY/occupancy-bound, not FLOP- or bandwidth-bound.  ~46% of summed
+#     device time is async copy/slice DMA that XLA overlaps with compute.
+#   * The region the fused cost kernel covers (warp + concat + scale-0
+#     correlation, all three stages) is ~1.2 ms of a 17 ms frame (~7%).
+#     Even a zero-cost kernel caps the end-to-end gain at ~7%; the kernel
+#     still has to stream the same volume, so the realistic ceiling is ~3%.
+#   * `pallas_call` is a fusion barrier: XLA can no longer fold the one-hot
+#     warp matrices, concat and correlation into neighboring consumers, nor
+#     overlap their DMA with adjacent fusions.  Measured end-to-end cost of
+#     the barrier exceeds the in-kernel win: 45.5 vs 49.2 fps temporal,
+#     51.9 vs 56.9 fps single-frame (kernels ON vs OFF, r2 bench).
+#   * Standalone, the kernels DO win (2.3x @1/4: 0.39 vs 0.91 ms, C=128 D=5;
+#     1.9x @1/8: 0.25 vs 0.47 ms) — kept, parity-tested, and config-gated
+#     for workloads where the cost volume dominates (bigger C/D, fused
+#     pipelines that already materialize at the kernel boundary).
 _PALLAS_ENABLED = False
 
 
@@ -30,34 +49,13 @@ def configure_pallas(enabled: bool) -> None:
 
 
 def _use_pallas() -> bool:
-    """Pallas shift kernel toggle.
-
-    Config default off: the XLA lowering already reaches ~40 fps at KITTI
-    size on a v5e; the kernel itself passes parity tests and runs standalone
-    (ops/pallas/shift.py)."""
-    import os
-
-    env = os.environ.get("TS_USE_PALLAS")
-    if env is not None:
-        return env == "1"
+    """Pallas W-shift kernel toggle (ops/pallas/shift.py)."""
     return _PALLAS_ENABLED
 
 
 def _use_pallas_cost() -> bool:
-    """Fused cost-volume kernel toggle, see ops/pallas/cost.py.
-
-    Config default off after measuring both ways on a v5e: standalone the
-    kernel beats the XLA lowering 2.3x @1/4 (0.39 vs 0.91 ms, C=128 D=5 bf16)
-    and 1.9x @1/8 (0.25 vs 0.47 ms, D=10), but end-to-end the model runs ~6%
-    slower (51.4 vs 54.7 fps @384x1248) — pallas_call is a fusion barrier,
-    and inside the full graph XLA folds the one-hot construction, concat and
-    correlation into neighboring consumers, which the standalone comparison
-    cannot capture."""
-    import os
-
-    env = os.environ.get("TS_USE_PALLAS_COST")
-    if env is not None:
-        return env == "1"
+    """Fused cost-volume kernel toggle (ops/pallas/cost.py) — see the
+    roofline note above for why the default is the XLA lowering."""
     return _PALLAS_ENABLED
 
 

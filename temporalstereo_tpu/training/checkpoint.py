@@ -91,6 +91,28 @@ def load_weights(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+TORCH_EXTENSIONS = (".ckpt", ".pth", ".pt")
+
+
+def load_any_weights(variables: Dict[str, Any], path: str):
+    """Warm-start ``variables`` from EITHER a native msgpack weights file or
+    a reference torch/Lightning checkpoint (full-model state_dict mapped via
+    utils.torch_import.import_reference_checkpoint).
+
+    Returns (new_variables, n_matched) — the single entry point the Trainer
+    and inference CLIs use, so users switching from the reference can pass
+    their trained ``.ckpt`` files anywhere a checkpoint is accepted."""
+    if path.endswith(TORCH_EXTENSIONS):
+        from ..utils.torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(variables, path)
+    weights = load_weights(path)
+    params, stats, n = warm_start(variables["params"],
+                                  variables.get("batch_stats", {}),
+                                  weights, strict=False)
+    return {"params": params, "batch_stats": stats}, n
+
+
 def warm_start(params, batch_stats, weights: Dict[str, Any],
                strict: bool = False):
     """Merge loaded weights into a fresh variable tree, keeping fresh values

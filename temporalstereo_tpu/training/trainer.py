@@ -34,7 +34,8 @@ from ..parallel import (
     shard_batch_multihost,
 )
 from ..utils.logging import FileWriter, MetricLogger, format_error_table
-from .checkpoint import CheckpointManager, load_weights, warm_start
+from .checkpoint import (CheckpointManager, load_any_weights, load_weights,
+                         warm_start)
 from .optim import build_optimizer
 from .state import TrainState
 from .step import make_eval_step, make_train_step
@@ -165,11 +166,13 @@ class Trainer:
                 self.writer.stdout(f"WARNING: warm-start checkpoint {load} "
                                    "not found; training from scratch")
                 return
-            weights = load_weights(load)
-            params, stats, n = warm_start(self.state.params,
-                                          self.state.batch_stats, weights,
-                                          strict=False)
-            self.state = self.state.replace(params=params, batch_stats=stats)
+            # msgpack weights OR a reference torch/Lightning .ckpt
+            variables, n = load_any_weights(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats}, load)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"])
             self.writer.stdout(f"warm-started {n} tensors from {load}")
 
     # ------------------------------------------------------------------ --

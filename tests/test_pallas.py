@@ -162,7 +162,7 @@ def test_fused_cost_base_pallas_gradients(rng):
 
 
 def test_block_cost_pallas_path_matches_default(rng, monkeypatch):
-    """TS_USE_PALLAS_COST=1 block_cost output equals the default lowering."""
+    """TPU.USE_PALLAS block_cost path equals the default XLA lowering."""
     from jax.experimental.pallas import tpu as pltpu
 
     from temporalstereo_tpu.ops import cost as cost_mod
@@ -173,8 +173,11 @@ def test_block_cost_pallas_path_matches_default(rng, monkeypatch):
     disp = jnp.asarray(rng.uniform(0, 12, (b, d, h, w)), jnp.float32)
 
     expected = cost_mod.block_cost(ref, tgt, disp, 3)
-    monkeypatch.setenv("TS_USE_PALLAS_COST", "1")
-    with pltpu.force_tpu_interpret_mode():
-        out = cost_mod.block_cost(ref, tgt, disp, 3)
+    cost_mod.configure_pallas(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = cost_mod.block_cost(ref, tgt, disp, 3)
+    finally:
+        cost_mod.configure_pallas(False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                rtol=1e-4, atol=1e-4)

@@ -119,3 +119,37 @@ def test_eval_step_explicit_shardings(mesh):
     np.testing.assert_allclose(float(metrics["epe"]),
                                np.mean(np.abs(_batch()["disp_gt"])),
                                rtol=1e-6)
+
+
+def test_sharded_loader_equal_batch_counts():
+    """Uneven dataset sizes must NOT give hosts different batch counts — a
+    one-batch difference desyncs the SPMD collectives (torch
+    DistributedSampler pads the same way)."""
+    from temporalstereo_tpu.data.loader import DataLoader
+
+    class Toy:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"left": np.full((1, 4, 4, 3), i, np.float32)}
+
+    for n, shards, bs, drop in [(11, 2, 2, True), (11, 2, 2, False),
+                                (9, 4, 1, False), (10, 4, 2, True)]:
+        counts = []
+        seen = set()
+        for s in range(shards):
+            dl = DataLoader(Toy(n), batch_size=bs, shuffle=False,
+                            drop_last=drop, num_workers=1,
+                            num_shards=shards, shard_index=s)
+            batches = list(dl)
+            assert len(batches) == len(dl)
+            counts.append(len(batches))
+            for b in batches:
+                seen.update(int(v) for v in b["left"][0, :, 0, 0, 0])
+        assert len(set(counts)) == 1, (n, shards, bs, drop, counts)
+        if not drop:
+            assert seen == set(range(n))  # padding only repeats, never drops
