@@ -64,6 +64,9 @@ def get_default_config() -> CN:
     _C.TRAINER.SWA.ENABLED = True
     _C.TRAINER.SWA.START_FRACTION = 0.8  # reference dist_train.py:68
     _C.TRAINER.SWA.LR = 0.0  # 0 => keep scheduler lr
+    # batches of train-mode forward passes re-estimating BN stats after the
+    # final weight swap (torch swa_utils.update_bn semantics)
+    _C.TRAINER.SWA.BN_UPDATE_STEPS = 50
 
     # ------------------------------------------------------------------ TPU
     _C.TPU = CN()

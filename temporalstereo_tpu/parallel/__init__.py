@@ -8,5 +8,6 @@ from .mesh import (
     shard_batch,
     shard_batch_multihost,
 )
+from .spatial import image_sharding, make_2d_mesh, make_spatial_forward
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -41,6 +41,16 @@ from .state import TrainState
 from .step import make_eval_step, make_train_step
 
 
+def _bn_update_apply(model, params, stats, batch):
+    """One train-mode forward (no grads) updating only batch_stats."""
+    from ..models.temporal import multi_frame_forward
+
+    variables = {"params": params, "batch_stats": stats}
+    outputs, new_vars, prev = multi_frame_forward(
+        model, variables, batch, train=True, mutable=("batch_stats",))
+    return outputs, prev, new_vars["batch_stats"]
+
+
 def backup_code(src_root: str, dst_dir: str) -> None:
     """Snapshot the source tree into the experiment dir
     (reference dist_train.py:32-48)."""
@@ -192,8 +202,39 @@ class Trainer:
                     self.ckpt.save(int(self.state.step), self.state)
             if fast_dev:
                 break
+        self._finalize_swa()
         if self.is_main:
             self.ckpt.save(int(self.state.step), self.state)
+
+    def _finalize_swa(self) -> None:
+        """Swap in the SWA-averaged weights at the end of fit and re-estimate
+        BN statistics with forward passes over the train data — the
+        reference's Lightning StochasticWeightAveraging epilogue
+        (dist_train.py:68; torch.optim.swa_utils.update_bn semantics)."""
+        if self.state.swa_params is None or int(self.state.swa_count) == 0:
+            return
+        self.state = self.state.replace(params=self.state.swa_model_params())
+        # re-estimate batch_stats under the averaged weights
+        max_batches = min(self.steps_per_epoch,
+                          int(self.cfg.TRAINER.SWA.get("BN_UPDATE_STEPS", 50)))
+        if max_batches <= 0:
+            return
+        stats = self.state.batch_stats
+
+        @jax.jit
+        def bn_pass(params, stats, batch):
+            _, _, updates = _bn_update_apply(self.model, params, stats, batch)
+            return updates
+
+        for i, batch in enumerate(self.train_loader):
+            if i >= max_batches:
+                break
+            stats = bn_pass(self.state.params, stats, self._shard(batch))
+        self.state = self.state.replace(batch_stats=stats)
+        self.writer.stdout(
+            f"SWA: swapped in averaged weights "
+            f"({int(self.state.swa_count)} snapshots), BN re-estimated over "
+            f"{max_batches} batches")
 
     def _shard(self, batch):
         """Place a loader batch on the mesh.  Single-process: the batch is

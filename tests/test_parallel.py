@@ -153,3 +153,41 @@ def test_sharded_loader_equal_batch_counts():
         assert len(set(counts)) == 1, (n, shards, bs, drop, counts)
         if not drop:
             assert seen == set(range(n))  # padding only repeats, never drops
+
+
+def test_spatial_sharded_forward_matches():
+    """W-axis model sharding over a (data, spatial) mesh: GSPMD inserts the
+    conv halo exchanges and shift-matmul collectives; the sharded forward
+    must match the unsharded one (parallel/spatial.py)."""
+    from temporalstereo_tpu.config import get_cfg
+    from temporalstereo_tpu.models import build_model
+    from temporalstereo_tpu.parallel.spatial import (
+        image_sharding,
+        make_2d_mesh,
+        make_spatial_forward,
+    )
+
+    cfg = get_cfg(opts=[
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "MODEL.AGGREGATION.PRECISE.C", "8",
+        "TRAINER.PRECISION", "f32",
+    ])
+    model = build_model(cfg, dtype=None)
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(2, 32, 128, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(2, 32, 128, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, left, right, None, False))(jax.random.PRNGKey(0))
+
+    ref, _ = jax.jit(lambda l, r: model.apply(
+        variables, l, r, None, False))(left, right)
+
+    mesh = make_2d_mesh(2, 4)
+    assert image_sharding(mesh).spec == P("data", None, "spatial", None)
+    run = make_spatial_forward(model, variables, mesh)
+    out = run(left, right)
+    assert "spatial" in str(out.sharding.spec)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref["disps"][0]), atol=1e-4)

@@ -97,6 +97,50 @@ def test_trainer_fast_dev_run(fake_root, tmp_path):
     trainer.metrics.close()
 
 
+def test_swa_finalize_swaps_weights_and_bn(fake_root, tmp_path):
+    """fit() must end by swapping in the SWA average and re-estimating BN
+    stats (the reference's Lightning SWA epilogue, dist_train.py:68)."""
+    import jax
+    import jax.numpy as jnp
+
+    from temporalstereo_tpu.training.trainer import Trainer
+
+    opts_cfg = get_cfg(opts=[
+        "LOG_DIR", str(tmp_path / "swa"),
+        "TRAINER.MAX_EPOCHS", "1",
+        "TRAINER.FAST_DEV_RUN", "True",
+        "TRAINER.PRECISION", "f32",
+        "TRAINER.SWA.ENABLED", "True",
+        "TRAINER.SWA.START_FRACTION", "0.0",
+        "TRAINER.SWA.BN_UPDATE_STEPS", "1",
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "VAL.EVAL_DISPARITY_IDS", "[0]",
+        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS", "100",
+    ] + sum((["DATA.%s.DATA_ROOT" % ph, fake_root,
+              "DATA.%s.ANNFILE" % ph, os.path.join(fake_root, "ann.json"),
+              "DATA.%s.TYPE" % ph, "SceneFlow",
+              "DATA.%s.HEIGHT" % ph, "32", "DATA.%s.WIDTH" % ph, "64",
+              "DATA.%s.BATCH_SIZE" % ph, "2",
+              "DATA.%s.NUM_WORKERS" % ph, "2",
+              "DATA.%s.FRAME_IDXS" % ph, "[0]"]
+             for ph in ("TRAIN", "VAL", "TEST")), []))
+    trainer = Trainer(opts_cfg)
+    pre_stats = jax.tree.leaves(trainer.state.batch_stats)[0].copy()
+    trainer.fit()
+    assert int(trainer.state.swa_count) >= 1
+    # after finalize, live params ARE the SWA average
+    diff = sum(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(trainer.state.params),
+        jax.tree.leaves(trainer.state.swa_model_params())))
+    assert diff == 0.0
+    # BN stats were re-estimated under the averaged weights
+    post_stats = jax.tree.leaves(trainer.state.batch_stats)[0]
+    assert float(jnp.abs(post_stats - pre_stats).max()) > 0
+    trainer.metrics.close()
+
+
 def test_warm_start_partial(fake_root, tmp_path):
     """Single-frame weights warm-start a temporal model (subset tree)."""
     import jax.numpy as jnp
