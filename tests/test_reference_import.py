@@ -134,3 +134,56 @@ def test_load_any_weights_dispatches_on_torch_ckpt(tmp_path):
     want = ref.state_dict()["backbone.conv_stem.weight"].numpy().transpose(
         2, 3, 1, 0)
     np.testing.assert_allclose(got, want)
+
+
+def test_full_model_forward_parity():
+    """END-TO-END numeric parity: the torch mirror of the reference's full
+    forward (tests/torch_mirror_agg.py — backbone, cascade, heads, convex
+    upsample, UNet decode) and the flax model produce the same four
+    full-resolution disparities under weights shared through the reference
+    checkpoint importer.  This is the strongest wiring check available
+    without real datasets: any divergence in block_cost, warp, sort/top-k,
+    upsampling or stage chaining shows up here."""
+    torch.manual_seed(21)
+    ref = ReferenceModelT().eval()
+    _randomize_bn(ref, seed=22)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    cfg = get_cfg(opts=[
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "MODEL.AGGREGATION.PRECISE.C", "8",
+        "TRAINER.PRECISION", "f32",
+    ])
+    model = build_model(cfg, dtype=None)
+    h, w = 96, 160
+    left_np = np.random.RandomState(23).rand(1, h, w, 3).astype(np.float32)
+    right_np = np.random.RandomState(24).rand(1, h, w, 3).astype(np.float32)
+    left, right = jnp.asarray(left_np), jnp.asarray(right_np)
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, left, right,
+                           None, False)
+    p, s, _ = import_reference_checkpoint(sd, TINY_GROUPS)
+    params, stats, n = warm_start(variables["params"],
+                                  variables["batch_stats"],
+                                  {"params": p, "batch_stats": s},
+                                  strict=False)
+    total = _count_leaves(variables["params"]) + _count_leaves(
+        variables["batch_stats"])
+    assert n == total
+    variables = {"params": params, "batch_stats": stats}
+
+    outputs, _ = model.apply(variables, left, right, None, False)
+
+    with torch.no_grad():
+        t_disps = ref(torch.from_numpy(left_np.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(right_np.transpose(0, 3, 1, 2)))
+
+    assert len(outputs["disps"]) == len(t_disps) == 4
+    for i, (f, t) in enumerate(zip(outputs["disps"], t_disps)):
+        fv = np.asarray(f[0, :, :, 0])
+        tv = t[0, 0].numpy()
+        denom = np.abs(tv).mean() + 1e-6
+        rel = np.abs(fv - tv).max() / denom
+        assert rel < 2e-3, f"disparity {i} diverges: rel={rel:.2e}"
