@@ -327,12 +327,12 @@ def predict_disp_t(cost, disp_sample, off, k=2):
             topk_cost)
 
 
-def _fuse_zero_memory(init_cost, disp_sample, past_conv, topk, C):
-    """The memory-None branch: zero hypotheses embedded by past_conv,
-    concatenated and re-sorted (coarse.py:85-105; stable sort so ties at
-    disparity 0 keep insertion order, matching the flax rank sort)."""
-    mem_sample = torch.zeros_like(disp_sample[:, :topk])
-    mem_volume = past_conv(torch.zeros_like(mem_sample).unsqueeze(1))
+def _fuse_memory(init_cost, disp_sample, mem_sample, mem_volume, past_conv,
+                 C):
+    """Memory fusion: embed with past_conv, concatenate as extra hypotheses,
+    re-sort by disparity (coarse.py:98-105, fine.py:114-121; stable sort so
+    ties keep insertion order, matching the flax rank sort)."""
+    mem_volume = past_conv(mem_volume)
     disp_sample = torch.cat([disp_sample, mem_sample], dim=1)
     init_cost = torch.cat([init_cost, mem_volume], dim=2)
     disp_sample, idx = torch.sort(disp_sample, dim=1, stable=True)
@@ -340,6 +340,14 @@ def _fuse_zero_memory(init_cost, disp_sample, past_conv, topk, C):
         init_cost, dim=2,
         index=idx.unsqueeze(1).repeat(1, C, 1, 1, 1))
     return disp_sample, init_cost
+
+
+def _fuse_zero_memory(init_cost, disp_sample, past_conv, topk, C):
+    """The memory-None branch: zero hypotheses (coarse.py:86-88)."""
+    mem_sample = torch.zeros_like(disp_sample[:, :topk])
+    mem_volume = torch.zeros_like(mem_sample).unsqueeze(1)
+    return _fuse_memory(init_cost, disp_sample, mem_sample, mem_volume,
+                        past_conv, C)
 
 
 def _fractional_samples(low, high):
@@ -369,7 +377,7 @@ class CoarseT(nn.Module):
         self.pred_heads = PredictionHeadsT(C)
         self.convex_upsample = ConvexUpsampleT(in_planes)
 
-    def forward(self, left, right):
+    def forward(self, left, right, memory=None):
         B, _, H, W = left.shape
         raw = block_cost_t(left, right, self.num_sample, self.scale)
         disp_sample = torch.linspace(
@@ -377,8 +385,21 @@ class CoarseT(nn.Module):
             device=left.device).view(1, -1, 1, 1).expand(
             B, self.num_sample, H, W)
         init_cost = self.init3d(raw)
-        disp_sample, init_cost = _fuse_zero_memory(
-            init_cost, disp_sample, self.past_conv, self.topk, self.C)
+        if memory is None:
+            disp_sample, init_cost = _fuse_zero_memory(
+                init_cost, disp_sample, self.past_conv, self.topk, self.C)
+        else:
+            # re-grid the 1/8 memory to this 1/16 grid with value scaling
+            # (coarse.py:92-96)
+            ms = memory["disp_sample"]
+            mw = ms.shape[-1]
+            ms = F.interpolate(ms * W / mw, size=(H, W), mode="bilinear",
+                               align_corners=True)
+            mv = F.interpolate(memory["cost_volume"], size=(H, W),
+                               mode="bilinear",
+                               align_corners=True).unsqueeze(1)
+            disp_sample, init_cost = _fuse_memory(
+                init_cost, disp_sample, ms, mv, self.past_conv, self.C)
         init_cost = self.fuse(init_cost)
         cost, off = self.pred_heads(init_cost)
         disp, _, _ = predict_disp_t(cost, disp_sample, off, self.topk)
@@ -396,12 +417,26 @@ class FineT(nn.Module):
         self.pred_heads = PredictionHeadsT(C)
         self.convex_upsample = ConvexUpsampleT(in_planes)
 
-    def forward(self, left, right, low, high):
+    def forward(self, left, right, low, high, memory=None, local_map=None):
         disp_sample = _fractional_samples(low, high)
+        if local_map is not None:
+            # local-map disparities prepended as extra hypotheses
+            # (fine.py:89-94)
+            H, W = low.shape[-2:]
+            lw = local_map.shape[-1]
+            lm = F.interpolate(local_map * W / lw, size=(H, W),
+                               mode="bilinear", align_corners=True)
+            disp_sample = torch.cat([lm, disp_sample], dim=1)
         raw = block_cost_t(left, right, disp_sample, self.scale)
         init_cost = self.init3d(raw)
-        disp_sample, init_cost = _fuse_zero_memory(
-            init_cost, disp_sample, self.past_conv, self.topk, self.C)
+        if memory is None:
+            disp_sample, init_cost = _fuse_zero_memory(
+                init_cost, disp_sample, self.past_conv, self.topk, self.C)
+        else:
+            # fine consumes the 1/8 memory at its native grid (fine.py:114)
+            disp_sample, init_cost = _fuse_memory(
+                init_cost, disp_sample, memory["disp_sample"],
+                memory["cost_volume"].unsqueeze(1), self.past_conv, self.C)
         init_cost = self.fuse(init_cost)
         cost, off = self.pred_heads(init_cost)
         disp, _, _ = predict_disp_t(cost, disp_sample, off, self.topk)
@@ -425,9 +460,22 @@ class PreciseT(nn.Module):
         raw = block_cost_t(left, right, disp_sample, self.scale)
         init_cost = self.init3d(raw)
         cost, off = self.pred_heads(init_cost)
-        disp, _, _ = predict_disp_t(cost, disp_sample, off, self.topk)
+        disp, mem_sample, mem_volume = predict_disp_t(
+            cost, disp_sample, off, self.topk)
         full_disp = self.refinement.decoder(disp, left, spx2l)
-        return full_disp, disp, cost, off, disp_sample
+        # next frame's cost memory: topk samples halved + costs, stored at
+        # 1/8 (precise.py:98-103)
+        new_memory = {
+            "disp_sample": F.interpolate(mem_sample / 2, scale_factor=0.5,
+                                         mode="bilinear",
+                                         align_corners=True,
+                                         recompute_scale_factor=False),
+            "cost_volume": F.interpolate(mem_volume, scale_factor=0.5,
+                                         mode="bilinear",
+                                         align_corners=True,
+                                         recompute_scale_factor=False),
+        }
+        return full_disp, disp, cost, off, disp_sample, new_memory
 
 
 class AggregationT(nn.Module):
@@ -439,20 +487,40 @@ class AggregationT(nn.Module):
         self.fine = FineT(*cfg[1])
         self.precise = PreciseT(*cfg[2])
 
-    def forward(self, left_feats, right_feats, left_image, right_image):
+    def forward(self, left_feats, right_feats, left_image, right_image,
+                cost_memory=None, local_map=None):
         l4, l8, l16 = left_feats
         r4, r8, r16 = right_feats
         disps = []
-        disp, cost, off, sample = self.coarse(l16, r16)
+        disp, cost, off, sample = self.coarse(l16, r16, cost_memory)
         low, high = disp - 4, disp + 4
         disps.append(disp)
-        disp, cost, off, sample = self.fine(l8, r8, low, high)
+        disp, cost, off, sample = self.fine(l8, r8, low, high, cost_memory,
+                                            local_map)
         low, high = disp - 4, disp + 4
         disps.append(disp)
-        full_disp, disp, cost, off, sample = self.precise(
+        full_disp, disp, cost, off, sample, new_memory = self.precise(
             l4, r4, low, high, left_image, right_image)
         disps.extend([disp, full_disp])
-        return disps[::-1]
+        return disps[::-1], new_memory
+
+
+def _ir_forward_mem(blk, x, memory, memory_percent):
+    """InvertedResidual forward with the temporal channel-memory splice
+    (reference _inverted_residual_forward, backbone/TemporalStereo.py:
+    183-218): the first ``mc`` input channels are replaced by the previous
+    frame's saved slice; the CURRENT slice becomes the new memory; the
+    residual adds the un-spliced input."""
+    mc = int(x.shape[1] * memory_percent)
+    input1 = x[:, :mc]
+    if memory is None:
+        memory = input1
+    h = torch.cat([memory, x[:, mc:]], dim=1)
+    h = F.silu(blk.bn1(blk.conv_pw(h)))
+    h = F.silu(blk.bn2(blk.conv_dw(h)))
+    h = blk.se(h)
+    h = blk.bn3(blk.conv_pwl(h))
+    return x + h, input1
 
 
 class BackboneT(nn.Module):
@@ -492,11 +560,31 @@ class BackboneT(nn.Module):
             Conv2dW(oc[2] + tc[1], oc[1]),
             Conv2dW(oc[1], oc[1], norm=False, act=None))
 
-    def forward(self, lr):
+    def forward(self, lr, memories=None, memory_percent=0.0):
+        """``memories`` (reference _block_forward, backbone/
+        TemporalStereo.py:165-180): None = non-temporal; [] = temporal frame
+        with no carried state yet (each residual IR splices its own slice, a
+        no-op, :191-195); a list = the previous frame's slices in visit
+        order.  Returns (x4, x8, x16) or ((x4, x8, x16), new_memories)."""
         x = F.silu(self.bn1(self.conv_stem(lr)))
         feats = []
+        new_memories = []
+        mi = 0
         for g in range(5):
-            x = getattr(self, f"block{g}")(x)
+            if memories is None or memory_percent <= 0:
+                x = getattr(self, f"block{g}")(x)
+            else:
+                for stage in getattr(self, f"block{g}"):
+                    for blk in stage:
+                        if (isinstance(blk, InvertedResidualT)
+                                and blk.has_residual):
+                            m = memories[mi] if len(memories) > 0 else None
+                            x, saved = _ir_forward_mem(
+                                blk, x, m, memory_percent)
+                            new_memories.append(saved)
+                            mi += 1
+                        else:
+                            x = blk(x)
             feats.append(x)
         _, x4, x8, x16, x32 = feats
         x32 = self.conv32(x32)
@@ -509,7 +597,9 @@ class BackboneT(nn.Module):
         up = F.interpolate(x8, size=x4.shape[-2:], mode="bilinear",
                            align_corners=True)
         x4 = self.deconv8_4(torch.cat([up, x4], dim=1))
-        return x4, x8, x16
+        if memories is None or memory_percent <= 0:
+            return x4, x8, x16
+        return (x4, x8, x16), new_memories
 
 
 class ReferenceModelT(nn.Module):
@@ -533,7 +623,7 @@ class ReferenceModelT(nn.Module):
         x4, x8, x16 = self.backbone(lr)
         l_fms = [x4[:b], x8[:b], x16[:b]]
         r_fms = [x4[b:], x8[b:], x16[b:]]
-        disps = self.aggregation(l_fms, r_fms, left_image, right_image)
+        disps, _ = self.aggregation(l_fms, r_fms, left_image, right_image)
         full = []
         for d in disps:
             dw = d.shape[-1]
