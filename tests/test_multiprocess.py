@@ -68,16 +68,73 @@ print(f"proc {pid}: OK loss={got:.6f}", flush=True)
 """)
 
 
+MODEL_WORKER = textwrap.dedent("""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("PYTHONPATH", None)
+sys.path.insert(0, os.getcwd())
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+import numpy as np, jax.numpy as jnp
+from temporalstereo_tpu.config import get_cfg
+from temporalstereo_tpu.models import build_model
+from temporalstereo_tpu.parallel import (
+    make_mesh, make_sharded_train_step, shard_batch_multihost)
+from temporalstereo_tpu.training import (
+    TrainState, build_optimizer, make_train_step)
+
+cfg = get_cfg(opts=[
+    "MODEL.BACKBONE.VARIANT", "tiny",
+    "MODEL.AGGREGATION.COARSE.C", "8",
+    "MODEL.AGGREGATION.FINE.C", "8",
+    "MODEL.AGGREGATION.PRECISE.C", "8",
+    "TRAINER.PRECISION", "f32",
+])
+model = build_model(cfg, dtype=None)
+mesh = make_mesh(jax.devices())
+
+T, B, H, W = 1, 4, 32, 64
+rng = np.random.RandomState(7)
+g = {
+    "left": rng.rand(T, B, H, W, 3).astype(np.float32),
+    "right": rng.rand(T, B, H, W, 3).astype(np.float32),
+    "disp_gt": rng.uniform(1, 20, (T, B, H, W, 1)).astype(np.float32),
+}
+local = {k: v[:, pid::2] for k, v in g.items()}
+batch = shard_batch_multihost(mesh, local)
+
+variables = model.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+                       None, False)
+tx = build_optimizer(cfg, steps_per_epoch=10)
+state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+step = make_sharded_train_step(make_train_step(model, cfg), mesh,
+                               donate=False)
+state, metrics = step(state, batch)
+loss = float(metrics["loss"])
+pck = float(sum(np.abs(np.asarray(x)).sum()
+                for x in jax.tree.leaves(state.params)))
+sck = float(sum(np.abs(np.asarray(x)).sum()
+                for x in jax.tree.leaves(state.batch_stats)))
+print(f"proc {pid}: OK loss={loss:.8f} pck={pck:.6f} sck={sck:.6f}",
+      flush=True)
+""")
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
 
 
-def test_two_process_multihost_input_pipeline():
+def _run_two(worker: str, timeout: int = 150):
     port = _free_port()
     procs = [
-        subprocess.Popen([sys.executable, "-c", WORKER, str(port), str(i)],
+        subprocess.Popen([sys.executable, "-c", worker, str(port), str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True)
         for i in range(2)
@@ -85,7 +142,7 @@ def test_two_process_multihost_input_pipeline():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -93,7 +150,84 @@ def test_two_process_multihost_input_pipeline():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"proc {i}: OK" in out
+    return outs
+
+
+def test_two_process_multihost_input_pipeline():
+    outs = _run_two(WORKER)
     # both hosts computed the identical global loss
     losses = {ln.split("loss=")[1].strip() for out in outs
               for ln in out.splitlines() if "loss=" in ln}
     assert len(losses) == 1, losses
+
+
+def test_two_process_real_model_train_step():
+    """The REAL train step (tiny model: backbone + cascade + losses +
+    RMSProp + global BN stats) across two actual processes: the DDP
+    gradient-all-reduce contract (dist_train.py:81-100).  Both processes
+    must agree, and the result must match a single-process run on the
+    assembled global batch."""
+    import re
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    outs = _run_two(MODEL_WORKER, timeout=600)
+    vals = []
+    for out in outs:
+        m = re.search(r"loss=([\d.eE+-]+) pck=([\d.eE+-]+) "
+                      r"sck=([\d.eE+-]+)", out)
+        assert m, out[-500:]
+        vals.append(tuple(float(x) for x in m.groups()))
+    assert vals[0] == vals[1], vals  # both hosts: identical global result
+
+    # single-process reference on the contiguously-assembled global batch
+    from temporalstereo_tpu.config import get_cfg
+    from temporalstereo_tpu.models import build_model
+    from temporalstereo_tpu.parallel import (
+        make_mesh, make_sharded_train_step, shard_batch)
+    from temporalstereo_tpu.training import (
+        TrainState, build_optimizer, make_train_step)
+
+    cfg = get_cfg(opts=[
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "MODEL.AGGREGATION.PRECISE.C", "8",
+        "TRAINER.PRECISION", "f32",
+    ])
+    model = build_model(cfg, dtype=None)
+    mesh = make_mesh(jax.devices()[:4])
+
+    T, B, H, W = 1, 4, 32, 64
+    rng = np.random.RandomState(7)
+    g = {
+        "left": rng.rand(T, B, H, W, 3).astype(np.float32),
+        "right": rng.rand(T, B, H, W, 3).astype(np.float32),
+        "disp_gt": rng.uniform(1, 20, (T, B, H, W, 1)).astype(np.float32),
+    }
+    # make_array_from_process_local_data assembles contiguous per-process
+    # blocks: global order = [proc0 strided shard; proc1 strided shard]
+    assembled = {k: np.concatenate([v[:, 0::2], v[:, 1::2]], axis=1)
+                 for k, v in g.items()}
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+                           None, False)
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    step = make_sharded_train_step(make_train_step(model, cfg), mesh,
+                                   donate=False)
+    state, metrics = step(state, shard_batch(mesh, assembled))
+    loss = float(metrics["loss"])
+    pck = float(sum(np.abs(np.asarray(x)).sum()
+                    for x in jax.tree.leaves(state.params)))
+    sck = float(sum(np.abs(np.asarray(x)).sum()
+                    for x in jax.tree.leaves(state.batch_stats)))
+
+    w_loss, w_pck, w_sck = vals[0]
+    assert abs(loss - w_loss) / (abs(loss) + 1e-9) < 1e-5, (loss, w_loss)
+    assert abs(pck - w_pck) / (abs(pck) + 1e-9) < 1e-4, (pck, w_pck)
+    assert abs(sck - w_sck) / (abs(sck) + 1e-9) < 1e-4, (sck, w_sck)
