@@ -192,9 +192,13 @@ def cat_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
 
 def dif_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
             disp_sample) -> jnp.ndarray:
-    """Absolute-difference cost volume; out-of-view positions get max cost.
+    """Absolute-difference cost volume with max-cost fill.
 
-    Reference: dif_fms (dif_fms.py:5-44, out-of-view fill :36-41).
+    Reference: dif_fms (dif_fms.py:5-44).  The fill rule (:36-41) is
+    per-ELEMENT on the warped feature value — any position whose warped
+    target feature is <= 0 takes the volume-wide max cost (zero-padding
+    makes out-of-view positions a subset of that, but genuinely non-positive
+    feature values are filled too; matched exactly here).
     ([B,D,H,W] tensor | int D) -> [B, D, H, W, C]; int takes the static-shift
     fast path (see cat_fms).
     """
@@ -202,16 +206,11 @@ def dif_fms(reference_fm: jnp.ndarray, target_fm: jnp.ndarray,
     if isinstance(disp_sample, int):
         d = disp_sample
         tgt = shift_right_features(target_fm, d)
-        sample = jax.lax.broadcasted_iota(reference_fm.dtype, (b, d, h, w), 1)
     else:
         d = disp_sample.shape[1]
         tgt = shift_1d(target_fm[:, None], -disp_sample, padding_mode="zeros")
-        sample = disp_sample
     ref = jnp.broadcast_to(reference_fm[:, None], (b, d, h, w, c))
     cost = jnp.abs(ref - tgt)
 
-    xs = jax.lax.broadcasted_iota(sample.dtype, (b, d, h, w), 3)
-    sample_x = xs - sample
-    in_view = (sample_x >= 0) & (sample_x <= w - 1)
     max_cost = jnp.max(cost)
-    return jnp.where(in_view[..., None], cost, max_cost)
+    return jnp.where(tgt > 0, cost, max_cost)

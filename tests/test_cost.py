@@ -98,8 +98,11 @@ def test_cat_and_dif_fms(rng):
                                atol=1e-5)
     dif = np.asarray(dif_fms(jnp.asarray(left), jnp.asarray(right),
                              jnp.asarray(disp)))
-    np.testing.assert_allclose(dif[0, 0], np.abs(left - right)[0], atol=1e-5)
-    # out-of-view column (x=0 at disp=1) takes the max cost
+    # reference fill rule (dif_fms.py:36-41): positions whose WARPED target
+    # value is <= 0 take the volume max cost — at disp=0 that is right<=0
+    expect0 = np.where(right[0] > 0, np.abs(left - right)[0], dif.max())
+    np.testing.assert_allclose(dif[0, 0], expect0, atol=1e-5)
+    # out-of-view column (x=0 at disp=1) pads to zero -> max cost
     assert np.allclose(dif[0, 1, :, 0, :], dif.max())
 
 

@@ -1,0 +1,265 @@
+"""Parity of the repo's cost/warp/loss/metric ops against the REAL reference
+code (/root/reference), imported through tests/refshim.
+
+Each test feeds identical random inputs to the reference's own function
+(block_cost.py, cat_fms.py, dif_fms.py, inverse_warp.py, inverse_warp_3d.py,
+smooth_l1_loss.py, warsserstein_distance_loss.py, pixel_error.py) and the
+flax op, converting only layouts (reference NCHW/NCDHW <-> repo NHWC/NDHWC).
+This closes the round-2 gap where every numeric claim routed through
+builder-written torch mirrors (VERDICT.md round 2, missing #1).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests import refshim  # noqa: E402
+
+if not refshim.reference_available():  # pragma: no cover
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+refshim.install()
+
+from architecture.modeling.aggregation.utils import (  # noqa: E402
+    block_cost as ref_block_cost,
+    cat_fms as ref_cat_fms,
+    dif_fms as ref_dif_fms,
+)
+from architecture.modeling.layers import (  # noqa: E402
+    inverse_warp as ref_inverse_warp,
+    inverse_warp_3d as ref_inverse_warp_3d,
+    mesh_grid as ref_mesh_grid,
+    project_to_3d as ref_project_to_3d,
+)
+from architecture.data.evaluation import calc_error as ref_calc_error  # noqa: E402
+from architecture.modeling.losses import (  # noqa: E402
+    DispSmoothL1Loss as RefSmoothL1,
+    WarssersteinDistanceLoss as RefWasserstein,
+)
+
+from temporalstereo_tpu.ops.cost import block_cost, cat_fms, dif_fms  # noqa: E402
+from temporalstereo_tpu.ops.warp import (  # noqa: E402
+    inverse_warp,
+    inverse_warp_3d,
+    mesh_grid,
+    project_to_3d,
+)
+from temporalstereo_tpu.data.evaluation.pixel_error import calc_error  # noqa: E402
+from temporalstereo_tpu.losses import (  # noqa: E402
+    DispSmoothL1Loss,
+    WassersteinDistanceLoss,
+)
+
+
+def t2j_nchw(x: torch.Tensor) -> jnp.ndarray:
+    """torch [B,C,H,W] -> jax [B,H,W,C]."""
+    return jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+
+
+def vol_j2t(x) -> np.ndarray:
+    """jax volume [B,D,H,W,C] -> numpy [B,C,D,H,W]."""
+    return np.asarray(x).transpose(0, 4, 1, 2, 3)
+
+
+def _feats(rng, b=1, c=16, h=10, w=14):
+    l = rng.randn(b, c, h, w).astype(np.float32)
+    r = rng.randn(b, c, h, w).astype(np.float32)
+    return torch.from_numpy(l), torch.from_numpy(r)
+
+
+# ------------------------------------------------------------------ cost ops
+def test_block_cost_int_path_matches_reference(rng):
+    tl, tr = _feats(rng)
+    num_sample = 4
+    ref = ref_block_cost(tl, tr, num_sample, block_cost_scale=3)
+    got = block_cost(t2j_nchw(tl), t2j_nchw(tr), num_sample, 3)
+    np.testing.assert_allclose(vol_j2t(got), ref.numpy(), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_block_cost_tensor_path_matches_reference(rng):
+    tl, tr = _feats(rng)
+    ds = (rng.rand(1, 3, 10, 14).astype(np.float32) * 5.0)
+    ref = ref_block_cost(tl, tr, torch.from_numpy(ds), block_cost_scale=2)
+    got = block_cost(t2j_nchw(tl), t2j_nchw(tr), jnp.asarray(ds), 2)
+    np.testing.assert_allclose(vol_j2t(got), ref.numpy(), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_cat_fms_matches_reference(rng):
+    tl, tr = _feats(rng, c=6)
+    ds = (rng.rand(1, 5, 10, 14).astype(np.float32) * 6.0 - 2.0)
+    ref = ref_cat_fms(tl, tr, torch.from_numpy(ds))
+    got = cat_fms(t2j_nchw(tl), t2j_nchw(tr), jnp.asarray(ds))
+    np.testing.assert_allclose(vol_j2t(got), ref.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_dif_fms_matches_reference(rng):
+    tl, tr = _feats(rng, c=6)
+    ds = (rng.rand(1, 5, 10, 14).astype(np.float32) * 6.0 - 2.0)
+    ref = ref_dif_fms(tl, tr, torch.from_numpy(ds))
+    got = dif_fms(t2j_nchw(tl), t2j_nchw(tr), jnp.asarray(ds))
+    np.testing.assert_allclose(vol_j2t(got), ref.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+# ----------------------------------------------------------------- warp ops
+def test_mesh_grid_matches_reference():
+    ref = ref_mesh_grid(2, 5, 7, torch.device("cpu"))     # [B, 2, H, W]
+    got = mesh_grid(2, 5, 7)                              # [B, H, W, 2]
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               ref.numpy())
+
+
+def test_inverse_warp_disparity_matches_reference(rng):
+    img = rng.randn(2, 3, 9, 13).astype(np.float32)
+    disp = (rng.rand(2, 1, 9, 13).astype(np.float32) * 4.0 - 2.0)
+    ref = ref_inverse_warp(torch.from_numpy(img), torch.from_numpy(disp),
+                           mode="disparity")
+    got = inverse_warp(t2j_nchw(torch.from_numpy(img)),
+                       t2j_nchw(torch.from_numpy(disp)), mode="disparity")
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               ref.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_inverse_warp_flow_matches_reference(rng):
+    img = rng.randn(1, 4, 8, 11).astype(np.float32)
+    flow = (rng.rand(1, 2, 8, 11).astype(np.float32) * 3.0 - 1.5)
+    ref = ref_inverse_warp(torch.from_numpy(img), torch.from_numpy(flow),
+                           mode="flow")
+    got = inverse_warp(t2j_nchw(torch.from_numpy(img)),
+                       t2j_nchw(torch.from_numpy(flow)), mode="flow")
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               ref.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_project_to_3d_matches_reference(rng):
+    """Stacked-channel reprojection (the update_map workhorse,
+    TemporalStereo.py:406-413): depth [B, C=3, H, W]."""
+    b, c, h, w = 2, 3, 6, 9
+    depth = (rng.rand(b, c, h, w).astype(np.float32) * 10.0 + 1.0)
+    K = np.tile(np.array([[20.0, 0, 4.0], [0, 18.0, 3.0], [0, 0, 1.0]],
+                         np.float32), (b, 1, 1))
+    # small rigid motion
+    T = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    T[:, 0, 3] = 0.3
+    T[:, 1, 3] = -0.1
+    ref = ref_project_to_3d(torch.from_numpy(depth), torch.from_numpy(K),
+                            None, torch.from_numpy(T))
+    got = project_to_3d(jnp.asarray(depth.transpose(0, 2, 3, 1)),
+                        jnp.asarray(K), None, jnp.asarray(T))
+
+    np.testing.assert_allclose(np.asarray(got["homo_points_3d"]),
+                               ref["homo_points_3d"].numpy(), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["triangular_depth"]).transpose(0, 3, 1, 2),
+        ref["triangular_depth"].numpy(), rtol=1e-5, atol=1e-5)
+    # reference optical_flow: [B, C*2, H, W]; repo: [B, H, W, C, 2]
+    flow = np.asarray(got["optical_flow"]).transpose(0, 3, 4, 1, 2).reshape(
+        b, c * 2, h, w)
+    np.testing.assert_allclose(flow, ref["optical_flow"].numpy(), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["flow_mask"]).transpose(0, 3, 1, 2),
+        ref["flow_mask"].numpy())
+
+
+def test_inverse_warp_3d_matches_reference(rng):
+    b, c, d, h, w = 1, 4, 3, 6, 9
+    vol = rng.randn(b, c, d, h, w).astype(np.float32)
+    disp = (rng.rand(b, d, h, w).astype(np.float32) * 4.0 - 2.0)
+    ref = ref_inverse_warp_3d(torch.from_numpy(vol), torch.from_numpy(disp),
+                              padding_mode="zeros")
+    got = inverse_warp_3d(
+        jnp.asarray(vol.transpose(0, 2, 3, 4, 1)), jnp.asarray(disp),
+        padding_mode="zeros")
+    np.testing.assert_allclose(vol_j2t(got), ref.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_inverse_warp_3d_with_y_matches_reference(rng):
+    b, c, d, h, w = 1, 2, 3, 6, 9
+    vol = rng.randn(b, c, d, h, w).astype(np.float32)
+    disp = (rng.rand(b, d, h, w).astype(np.float32) * 4.0 - 2.0)
+    disp_y = (rng.rand(b, d, h, w).astype(np.float32) * 2.0 - 1.0)
+    ref = ref_inverse_warp_3d(torch.from_numpy(vol), torch.from_numpy(disp),
+                              padding_mode="zeros",
+                              disp_Y=torch.from_numpy(disp_y))
+    got = inverse_warp_3d(
+        jnp.asarray(vol.transpose(0, 2, 3, 4, 1)), jnp.asarray(disp),
+        padding_mode="zeros", disp_y=jnp.asarray(disp_y))
+    np.testing.assert_allclose(vol_j2t(got), ref.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+# ------------------------------------------------------------ losses/metrics
+def test_smooth_l1_loss_matches_reference(rng):
+    gt = (rng.rand(2, 1, 16, 24).astype(np.float32) * 60.0)
+    gt[gt < 10] = 0.0  # invalid region
+    ests = [(rng.rand(2, 1, 16, 24).astype(np.float32) * 60.0),
+            (rng.rand(2, 1, 8, 12).astype(np.float32) * 30.0)]
+    ref_loss = RefSmoothL1(max_disp=48, start_disp=0, global_weight=0.5,
+                           weights=[1.0, 0.7], sparse=False)
+    ref_out = ref_loss([torch.from_numpy(e) for e in ests],
+                       torch.from_numpy(gt))
+    loss = DispSmoothL1Loss(max_disp=48, start_disp=0, global_weight=0.5,
+                            weights=[1.0, 0.7], sparse=False)
+    got = loss([jnp.asarray(e.transpose(0, 2, 3, 1)) for e in ests],
+               jnp.asarray(gt.transpose(0, 2, 3, 1)))
+    assert set(got) == set(ref_out)
+    for k in ref_out:
+        np.testing.assert_allclose(float(got[k]), float(ref_out[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_smooth_l1_loss_sparse_matches_reference(rng):
+    gt = (rng.rand(1, 1, 16, 24).astype(np.float32) * 60.0)
+    gt[gt < 30] = 0.0  # sparse gt
+    est = (rng.rand(1, 1, 8, 12).astype(np.float32) * 30.0)
+    ref_out = RefSmoothL1(max_disp=48, sparse=True)(
+        torch.from_numpy(est), torch.from_numpy(gt))
+    got = DispSmoothL1Loss(max_disp=48, sparse=True)(
+        jnp.asarray(est.transpose(0, 2, 3, 1)),
+        jnp.asarray(gt.transpose(0, 2, 3, 1)))
+    for k in ref_out:
+        np.testing.assert_allclose(float(got[k]), float(ref_out[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_wasserstein_loss_matches_reference(rng):
+    b, d, h, w = 2, 5, 8, 12
+    gt = (rng.rand(b, 1, 16, 24).astype(np.float32) * 40.0)
+    cost = rng.randn(b, d, h, w).astype(np.float32)
+    off = (rng.rand(b, d, h, w).astype(np.float32) - 0.5)
+    sample = (rng.rand(b, d, h, w).astype(np.float32) * 40.0)
+    ref_loss = RefWasserstein(max_disp=48, global_weight=1.0,
+                              weights=[1.0], sparse=False)
+    ref_out = ref_loss([torch.from_numpy(cost)], [torch.from_numpy(off)],
+                       [torch.from_numpy(sample)], torch.from_numpy(gt))
+    loss = WassersteinDistanceLoss(max_disp=48, global_weight=1.0,
+                                   weights=[1.0], sparse=False)
+    # repo layout: sample-last [B, H, W, D]
+    got = loss([jnp.asarray(cost.transpose(0, 2, 3, 1))],
+               [jnp.asarray(off.transpose(0, 2, 3, 1))],
+               [jnp.asarray(sample.transpose(0, 2, 3, 1))],
+               jnp.asarray(gt.transpose(0, 2, 3, 1)))
+    assert set(got) == set(ref_out)
+    for k in ref_out:
+        np.testing.assert_allclose(float(got[k]), float(ref_out[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_calc_error_matches_reference(rng):
+    est = (rng.rand(1, 1, 20, 30).astype(np.float32) * 70.0)
+    gt = (rng.rand(1, 1, 20, 30).astype(np.float32) * 70.0)
+    gt[gt < 15] = 0.0
+    ref_out = ref_calc_error(torch.from_numpy(est), torch.from_numpy(gt),
+                             lb=0.0, ub=64.0)
+    got = calc_error(jnp.asarray(est), jnp.asarray(gt), lb=0.0, ub=64.0)
+    for k in ("1px", "2px", "3px", "5px", "epe"):
+        np.testing.assert_allclose(float(got[k]), float(ref_out[k][0]),
+                                   rtol=1e-5, atol=1e-5)
