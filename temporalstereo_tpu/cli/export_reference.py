@@ -20,6 +20,9 @@ def get_parser():
                    help="msgpack weights (or even a reference .ckpt, which "
                         "round-trips through the importer)")
     p.add_argument("--output", required=True, help="output .ckpt path")
+    p.add_argument("--force", action="store_true",
+                   help="export even when the checkpoint did not cover every "
+                        "model tensor (uncovered leaves export as ZEROS)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p
 
@@ -46,7 +49,17 @@ def main(argv=None):
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     variables, n = load_any_weights(variables, args.checkpoint)
-    print(f"loaded {n} tensors from {args.checkpoint}")
+    total = (len(jax.tree.leaves(shapes["params"]))
+             + len(jax.tree.leaves(shapes.get("batch_stats", {}))))
+    print(f"loaded {n}/{total} tensors from {args.checkpoint}")
+    if n != total and not args.force:
+        # variables start ZERO-initialized; a config/checkpoint mismatch
+        # would silently export corrupt (zero) weights that still strict-load
+        # into the reference — refuse unless the user opts in
+        raise SystemExit(
+            f"error: checkpoint covered only {n}/{total} model tensors "
+            f"(config/checkpoint mismatch?); uncovered leaves would export "
+            f"as zeros. Pass --force to export anyway.")
 
     groups = None
     if cfg.MODEL.BACKBONE.VARIANT == "tiny":

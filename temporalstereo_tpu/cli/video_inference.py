@@ -30,6 +30,18 @@ def main() -> None:
     p.add_argument("--width", type=int, default=1248)
     p.add_argument("--baseline", type=float, default=0.54)
     p.add_argument("--focal", type=float, default=721.5377)
+    p.add_argument("--pose-format", default="auto",
+                   choices=("auto", "matrix", "tartanair"),
+                   help="pose_left.txt format: ORB-SLAM3/KITTI matrix rows "
+                        "or TartanAir GT quaternions (reference "
+                        "video_inference.py:63-98 use_gt dispatch); auto "
+                        "sniffs the row width")
+    p.add_argument("--no-exact-growth", action="store_true",
+                   help="skip the reference's 1->LOCAL_MAP_SIZE local-map "
+                        "growth frames (TemporalStereo.py:367-372) and start "
+                        "from a duplicate-filled full map: one compiled step "
+                        "instead of one per growth stage (faster cold start, "
+                        "small transient deviation on the first frames)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
 
@@ -39,6 +51,7 @@ def main() -> None:
 
     from ..config import get_cfg
     from ..data.formats import (load_disparity, load_image, load_pose_file,
+                                load_tartanair_pose_file, sniff_pose_format,
                                 write_kitti_disp)
     from ..data.transforms import normalize, resize_image
     from ..models import (backbone_memory_shapes, build_model, init_prev_info)
@@ -53,8 +66,14 @@ def main() -> None:
     right_dir = os.path.join(args.data_root, "right")
     names = sorted(os.listdir(left_dir))
     poses_path = os.path.join(args.data_root, "pose_left.txt")
-    poses = (load_pose_file(poses_path, invert=True)
-             if os.path.exists(poses_path) else None)
+    poses = None
+    if os.path.exists(poses_path):
+        fmt = args.pose_format
+        if fmt == "auto":
+            fmt = sniff_pose_format(poses_path)
+        poses = (load_tartanair_pose_file(poses_path) if fmt == "tartanair"
+                 else load_pose_file(poses_path, invert=True))
+        print(f"poses: {len(poses)} frames ({fmt} format)")
 
     h, w = args.height, args.width
     K = np.array([[args.focal, 0, w / 2], [0, args.focal, h / 2], [0, 0, 1]],
@@ -81,11 +100,20 @@ def main() -> None:
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
     topk = model.precise_cfg.get("topk", 2)
-    prev = (init_prev_info(model, 1, (h, w), mem_shapes, topk)
+    # exact growth: the local map starts empty and gains one channel per
+    # frame (the reference schedule); each growth stage is its own jitted
+    # shape, then the steady graph takes over
+    exact_growth = model.local_map_size > 0 and not args.no_exact_growth
+    prev = (init_prev_info(model, 1, (h, w), mem_shapes, topk,
+                           local_map_channels=0 if exact_growth else None)
             if model.with_previous else None)
 
-    step = jax.jit(lambda l, r, pv, T: streaming_step(
-        model, variables, l, r, pv, jnp.asarray(K), jnp.asarray(baseline), T))
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("warp",))
+    def step(l, r, pv, T, warp):
+        return streaming_step(model, variables, l, r, pv, jnp.asarray(K),
+                              jnp.asarray(baseline), T, warp=warp)
 
     os.makedirs(args.log_dir, exist_ok=True)
     # optional GT: data_root/disp_gt/<image name stem>.{png,pfm,npy}
@@ -109,7 +137,8 @@ def main() -> None:
             t_prev_inv = poses[min(i, len(poses) - 1)]
 
         t0 = time.time()
-        outputs, prev = step(l, r, prev, T_p2n)
+        outputs, prev = step(l, r, prev, T_p2n,
+                             warp=(i > 0 and model.with_previous))
         disp = np.asarray(outputs["disps"][0][0, :, :, 0])
         dt = time.time() - t0
 

@@ -56,6 +56,9 @@ def get_default_config() -> CN:
     _C.TRAINER.GRADIENT_CLIP_VAL = 0.1
     _C.TRAINER.LOG_EVERY_N_STEPS = 50
     _C.TRAINER.FLUSH_LOGS_EVERY_N_STEPS = 100
+    # train-batch image dumps every N steps (reference hard-codes 2000,
+    # TemporalStereo.py:165); 0 disables
+    _C.TRAINER.VIS_EVERY_N_TRAIN_STEPS = 2000
     _C.TRAINER.CHECK_VAL_EVERY_N_EPOCHS = 1
     _C.TRAINER.RESUME_FROM_CHECKPOINT = ""
     _C.TRAINER.LOAD_FROM_CHECKPOINT = ""

@@ -215,6 +215,44 @@ def load_pose_file(path: str, invert: bool = True) -> np.ndarray:
     return poses.astype(np.float32)
 
 
+def load_tartanair_pose_file(path: str) -> np.ndarray:
+    """TartanAir GT pose file: one ``x y z qx qy qz qw`` row per frame (NED
+    axes, cam-to-world); returns [N, 4, 4] world-to-cam in camera axes.
+
+    Matches the reference's read_tartanair_extrinsic (load_tartanair.py:
+    16-52) up to the world-frame convention: the reference left-multiplies
+    the NED->camera permutation C (world stays NED), this loader conjugates
+    (C T C^T, world in camera axes).  Relative poses T_t @ inv(T_{t-1}) —
+    the only quantity the temporal model consumes (TemporalStereo.py:
+    335-338) — are identical because C is orthogonal and conjugation
+    cancels."""
+    rows = []
+    with open(path, "r") as f:
+        for line in f:
+            vals = [float(v) for v in line.split()]
+            if not vals:
+                continue
+            if len(vals) != 7:
+                raise ValueError(
+                    f"TartanAir pose rows have 7 values, got {len(vals)}")
+            c2w = tartanair_pose_to_matrix(np.asarray(vals, np.float64))
+            rows.append(np.linalg.inv(c2w.astype(np.float64)))
+    return np.stack(rows).astype(np.float32)
+
+
+def sniff_pose_format(path: str) -> str:
+    """'tartanair' (7-value quaternion rows) or 'matrix' (ORB-SLAM3 /
+    KITTI-odometry 12/16-value rows) — the dispatch the reference hard-codes
+    with a use_gt flag (video_inference.py:63-98, :244)."""
+    with open(path, "r") as f:
+        for line in f:
+            n = len(line.split())
+            if n == 0:
+                continue
+            return "tartanair" if n == 7 else "matrix"
+    raise ValueError(f"empty pose file: {path}")
+
+
 def load_image(path: str) -> np.ndarray:
     """RGB image in [0, 1] float32, [H, W, 3]."""
     if path.lower().endswith(".png"):

@@ -10,11 +10,15 @@ TPU-native re-design of the per-frame forward and temporal orchestration of
     video_inference.py — here a static-shape ``PrevInfo`` pytree so the whole
     temporal loop can live inside one jitted graph / ``lax.scan``.
 
-Divergence note (static shapes): the reference grows the local map 1->3
-channels over the first frames (TemporalStereo.py:367-372).  Here the local
-map always has LOCAL_MAP_SIZE channels; before it is first filled, all
-channels take the warped previous disparity (same hypothesis set, duplicated)
-— gated by ``PrevInfo.local_map_valid``.
+Local-map growth (TemporalStereo.py:367-372): the reference grows the map
+1 -> LOCAL_MAP_SIZE channels over the first frames.  Matched EXACTLY with
+static shapes: the map starts at 0 channels and each ``update_prev_info``
+call emits ``min(in_channels + 1, LOCAL_MAP_SIZE)`` channels — every growth
+stage is its own statically-shaped compiled step (the temporal loop unrolls
+them, models/temporal.py), after which the shape is stable and scannable.
+A full-width map additionally supports the legacy ``local_map_valid``
+duplicate-fill gating for shape-stable streaming loops that skip the growth
+unroll (bench fast path).
 """
 from __future__ import annotations
 
@@ -78,9 +82,14 @@ class TemporalStereoNet(nn.Module):
         local_map = None
         if prev is not None and self.use_past_cost:
             cost_memory = prev.cost_memory
-        if prev is not None and self.local_map_size > 0:
-            g = prev.local_map_valid.astype(prev.local_map.dtype)
-            local_map = prev.local_map * g
+        if (prev is not None and self.local_map_size > 0
+                and prev.local_map.shape[-1] > 0):
+            if prev.local_map.shape[-1] < self.local_map_size:
+                # growth stage: every carried channel is real
+                local_map = prev.local_map
+            else:
+                g = prev.local_map_valid.astype(prev.local_map.dtype)
+                local_map = prev.local_map * g
 
         (disps, costs, samples, offs, search_ranges, new_cost_memory,
          full_disp) = TemporalStereoAggregation(
@@ -192,13 +201,22 @@ def update_prev_info(prev: PrevInfo, K: jnp.ndarray, baseline: jnp.ndarray,
 
     lm = None
     if local_map_size > 0:
-        s = local_map_size
-        # ring update: newest disparity in channel 0 (reference :370-372);
-        # before first fill, every channel takes the previous disparity
+        # ring update, newest disparity in channel 0, truncated to
+        # LOCAL_MAP_SIZE (reference :367-372).  With in_channels <
+        # LOCAL_MAP_SIZE this IS the reference's growth schedule (first fill
+        # = the reprojected previous disparity alone, then +1 channel per
+        # frame) — exact, statically shaped per growth stage.
         stacked = jnp.concatenate(
-            [pd, prev.local_map[..., : s - 1]], axis=-1)
-        filled = jnp.broadcast_to(pd, stacked.shape)
-        lm = jnp.where(prev.local_map_valid, stacked, filled)
+            [pd, prev.local_map], axis=-1)[..., :local_map_size]
+        if prev.local_map.shape[-1] >= local_map_size:
+            # legacy shape-stable path: before first fill, every channel
+            # takes the previous disparity (duplicate-fill), gated by
+            # local_map_valid — used by streaming loops that skip the
+            # growth unroll
+            filled = jnp.broadcast_to(pd, stacked.shape)
+            lm = jnp.where(prev.local_map_valid, stacked, filled)
+        else:
+            lm = stacked
 
     # channel 0 = pd itself: its reprojection yields the rigid flow, the rest
     # of the stack rides along in the same project_to_3d call.
@@ -247,16 +265,25 @@ def update_prev_info(prev: PrevInfo, K: jnp.ndarray, baseline: jnp.ndarray,
 def init_prev_info(model: TemporalStereoNet, batch_size: int,
                    full_size: Tuple[int, int],
                    memory_shapes: Tuple[Tuple[int, ...], ...],
-                   topk: int, dtype=None) -> PrevInfo:
-    """Zero-state PrevInfo with static shapes for the temporal scan.
+                   topk: int, dtype=None,
+                   local_map_channels: Optional[int] = None) -> PrevInfo:
+    """Zero-state PrevInfo with static shapes for the temporal loop.
 
     ``dtype`` is the activation/compute dtype (backbone memories); the
     geometry state (disparities, cost memory, local map) is always f32 —
     bf16's 1-px ULP at MAX_DISP would corrupt temporal hypotheses.
+
+    ``local_map_channels``: 0 starts the EXACT reference growth schedule
+    (each warp adds one channel up to LOCAL_MAP_SIZE — the temporal loop
+    unrolls those shape-changing steps); None/size keeps the legacy
+    full-width map with ``local_map_valid`` duplicate-fill gating
+    (shape-stable from frame 0, for streaming loops with one compiled step).
     """
     dtype = dtype or model.dtype or jnp.float32
     full_h, full_w = full_size
     h8, w8 = full_h // 8, full_w // 8
+    if local_map_channels is None:
+        local_map_channels = max(model.local_map_size, 1)
     # memories live on the concatenated [left; right] batch (2B) — the trunk
     # processes both views in one pass (backbone/TemporalStereo.py:150-160)
     memories = tuple(jnp.zeros((2 * batch_size, *s), dtype)
@@ -267,7 +294,7 @@ def init_prev_info(model: TemporalStereoNet, batch_size: int,
         cost_memory=CostMemory.zeros(batch_size, h8, w8, topk, jnp.float32),
         prev_disp=jnp.zeros((batch_size, full_h, full_w, 1), jnp.float32),
         local_map=jnp.zeros(
-            (batch_size, h8, w8, max(model.local_map_size, 1)), jnp.float32),
+            (batch_size, h8, w8, local_map_channels), jnp.float32),
         local_map_valid=jnp.zeros((), jnp.bool_),
     )
 

@@ -69,6 +69,12 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
     ``jax.checkpoint`` so the backward pass recomputes per-frame activations
     instead of holding them — the memory lever for long windows
     (FRAME_IDXS=[-10..0], reference configs/kitti2015-multi.yaml).
+
+    Local-map growth is EXACT (reference update_local_map grows the map
+    1 -> LOCAL_MAP_SIZE channels, TemporalStereo.py:367-372): the first
+    ``LOCAL_MAP_SIZE + 1`` frames change the carried shape, so they run as
+    statically-shaped unrolled steps; the remaining past frames run in one
+    ``lax.scan`` over the stable shape.
     """
     left, right = batch["left"], batch["right"]
     t, b, full_h, full_w, _ = left.shape
@@ -87,7 +93,17 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
     # carried state takes the model's compute dtype (bf16 under the mixed-
     # precision policy) so the scan carry is type-stable
     dtype = model.dtype or left.dtype
-    prev0 = init_prev_info(model, b, full_size, mem_shapes, topk, dtype)
+    prev0 = init_prev_info(model, b, full_size, mem_shapes, topk, dtype,
+                           local_map_channels=0 if model.local_map_size > 0
+                           else None)
+    # frames whose warp still grows the local map (shape-changing) + frame 0
+    # (no warp) must be unrolled; everything after is shape-stable
+    n_grow = (model.local_map_size + 1) if model.local_map_size > 0 else 1
+
+    def warp(prev, i):
+        return update_prev_info(prev, K, baseline, t_p2n[i], full_size,
+                                model.use_past_cost, model.local_map_size,
+                                splat_method)
 
     if previous_with_gradient:
         # unrolled, all frames in train mode with gradients (reference
@@ -95,21 +111,34 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
         prev = prev0
         all_outputs = []
         for i in range(t):
-            prev = _maybe_warp(model, prev, K, baseline, t_p2n[i], full_size,
-                               splat_method)
+            if i > 0:
+                prev = warp(prev, i)
             outputs, variables, prev = _apply(
                 model, variables, left[i], right[i], prev, train, mutable,
                 remat)
             all_outputs.append(outputs)
-        return all_outputs[-1], variables, prev
+        return all_outputs, variables, prev
 
-    # past frames: eval mode, stop-gradient carry, compiled once via scan
-    if t > 1:
+    # past frames: eval mode, stop-gradient carry
+    prev = prev0
+    n_unrolled_past = min(n_grow, t - 1)
+    for i in range(n_unrolled_past):
+        def past_step(prev, li, ri, i=i):
+            p = warp(prev, i) if i > 0 else prev
+            _, new_prev = model.apply(variables, li, ri, p, False)
+            return jax.lax.stop_gradient(new_prev)
+
+        if remat:
+            past_step = jax.checkpoint(past_step)
+        prev = past_step(prev, left[i], right[i])
+
+    if t - 1 > n_unrolled_past:
         def frame_step(prev, inputs):
             li, ri, tp = inputs
-            prev = _maybe_warp(model, prev, K, baseline, tp, full_size,
-                               splat_method)
-            _, new_prev = model.apply(variables, li, ri, prev, False)
+            p = update_prev_info(prev, K, baseline, tp, full_size,
+                                 model.use_past_cost, model.local_map_size,
+                                 splat_method)
+            _, new_prev = model.apply(variables, li, ri, p, False)
             return jax.lax.stop_gradient(new_prev), None
 
         if remat:
@@ -118,12 +147,12 @@ def multi_frame_forward(model: TemporalStereoNet, variables: Dict,
             # (dead) backward; checkpoint keeps the window O(1) in t
             frame_step = jax.checkpoint(frame_step)
         prev, _ = jax.lax.scan(
-            frame_step, prev0, (left[:-1], right[:-1], t_p2n[:-1]))
-    else:
-        prev = prev0
+            frame_step, prev,
+            (left[n_unrolled_past:-1], right[n_unrolled_past:-1],
+             t_p2n[n_unrolled_past:-1]))
 
-    prev = _maybe_warp(model, prev, K, baseline, t_p2n[-1], full_size,
-                       splat_method)
+    if t > 1:
+        prev = warp(prev, t - 1)
     # the final (loss-bearing) frame is NOT checkpointed: backprop through one
     # frame needs its activations either way, a whole-forward checkpoint here
     # would only add a redundant recompute
@@ -152,12 +181,29 @@ def streaming_step(model: TemporalStereoNet, variables: Dict,
                    left: jnp.ndarray, right: jnp.ndarray,
                    prev: Optional[PrevInfo], K: jnp.ndarray,
                    baseline: jnp.ndarray, T_past_to_now: jnp.ndarray,
-                   splat_method: str = "einsum"):
+                   splat_method: str = "einsum",
+                   warp: Optional[bool] = None):
     """Online single-frame step reusing carried state — the video mode
-    (video_inference.py:253-301). Returns (outputs, new_prev)."""
+    (video_inference.py:253-301). Returns (outputs, new_prev).
+
+    ``warp``: None picks at runtime via ``prev.has_memory`` (requires a
+    shape-stable full-width local map — the legacy duplicate-fill mode);
+    True/False decides statically, which is required during the local-map
+    GROWTH frames where the warp changes the carried shape (a runtime
+    ``lax.cond`` could not: its branches must agree on shapes).
+    """
     full_size = left.shape[1:3]
     if prev is not None:
-        prev = _maybe_warp(model, prev, K, baseline, T_past_to_now, full_size,
-                           splat_method)
+        if warp is None:
+            assert (model.local_map_size == 0
+                    or prev.local_map.shape[-1] >= model.local_map_size), (
+                "runtime warp gating needs a full-width local map; pass "
+                "warp=True/False statically during growth frames")
+            prev = _maybe_warp(model, prev, K, baseline, T_past_to_now,
+                               full_size, splat_method)
+        elif warp:
+            prev = update_prev_info(prev, K, baseline, T_past_to_now,
+                                    full_size, model.use_past_cost,
+                                    model.local_map_size, splat_method)
     outputs, new_prev = model.apply(variables, left, right, prev, False)
     return outputs, new_prev

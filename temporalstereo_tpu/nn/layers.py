@@ -89,11 +89,16 @@ class Norm(nn.Module):
         if kind is None or kind == "None":
             return x
         if kind in ("BN", "BN1d", "BN3d", "SyncBN", "nnSyncBN", "naiveSyncBN"):
-            # flatten any extra leading spatial dims into batch for stats
+            # use_fast_variance=False: the one-pass E[x^2]-E[x]^2 form loses
+            # ~3 digits to cancellation on conv activations, and the temporal
+            # chain's sort/top-k discontinuities amplify that into percent-
+            # level train-mode divergence from the reference (measured r3,
+            # tests/test_refshim_train.py); the two-pass variance is exact
+            # and costs a negligible second reduction
             return nn.BatchNorm(
                 use_running_average=not train, momentum=self.momentum,
                 epsilon=self.epsilon, dtype=self.dtype,
-                axis_name=None)(x)
+                use_fast_variance=False, axis_name=None)(x)
         if kind == "FrozenBN":
             return nn.BatchNorm(
                 use_running_average=True, momentum=self.momentum,

@@ -28,7 +28,12 @@ class CheckpointManager:
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: TrainState,
-             extra: Optional[Dict[str, Any]] = None) -> None:
+             extra: Optional[Dict[str, Any]] = None,
+             hparams: Optional[Dict[str, Any]] = None) -> None:
+        """``hparams``: the resolved config dict, persisted per checkpoint as
+        ``hparams-<step>.json`` — the reference stores the full cfg in every
+        ckpt via save_hyperparameters (TemporalStereo.py:31), so a restored
+        checkpoint can reconstruct its model config."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -42,6 +47,27 @@ class CheckpointManager:
             payload["extra"] = extra
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
+        if hparams is not None:
+            import json
+
+            path = os.path.join(self.directory, f"hparams-{step}.json")
+            with open(path, "w") as f:
+                json.dump(hparams, f, indent=1, default=str)
+
+    def load_hparams(self, step: Optional[int] = None
+                     ) -> Optional[Dict[str, Any]]:
+        """The config dict saved with a checkpoint (latest step by default),
+        or None if the checkpoint predates hparams persistence."""
+        import json
+
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return None
+        path = os.path.join(self.directory, f"hparams-{step}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()

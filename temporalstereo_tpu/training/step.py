@@ -59,8 +59,25 @@ def make_train_step(model: TemporalStereoNet, cfg: ConfigNode,
             model, variables, batch, train=True,
             previous_with_gradient=previous_with_gradient,
             mutable=("batch_stats",), remat=remat)
-        losses = compute_losses(outputs, batch["disp_gt"][-1],
-                                l1_loss, wars_loss)
+        if previous_with_gradient:
+            # BPTT objective: EVERY frame contributes smooth-L1 +
+            # Wasserstein, keyed '{frame_idx}_...' (reference training_step
+            # loops frame_idxs, TemporalStereo.py:135-150); multi_frame_
+            # forward returns the per-frame outputs list in this mode
+            t = len(outputs)
+            losses = {}
+            for i, outs in enumerate(outputs):
+                frame_idx = i - (t - 1)
+                per = compute_losses(outs, batch["disp_gt"][i],
+                                     l1_loss, wars_loss)
+                per.pop("loss")
+                losses.update({f"{frame_idx}_{k}": v
+                               for k, v in per.items()})
+            losses["loss"] = sum(v for k, v in losses.items()
+                                 if "loss" in k)
+        else:
+            losses = compute_losses(outputs, batch["disp_gt"][-1],
+                                    l1_loss, wars_loss)
         return losses["loss"], (losses, new_vars["batch_stats"])
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:

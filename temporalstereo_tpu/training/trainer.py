@@ -199,12 +199,14 @@ class Trainer:
                 self.validate(epoch)
             if (epoch + 1) % max(cfg.CHECKPOINT.EVERY_N_EPOCHS, 1) == 0:
                 if self.is_main:
-                    self.ckpt.save(int(self.state.step), self.state)
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   hparams=cfg.to_dict())
             if fast_dev:
                 break
         self._finalize_swa()
         if self.is_main:
-            self.ckpt.save(int(self.state.step), self.state)
+            self.ckpt.save(int(self.state.step), self.state,
+                           hparams=cfg.to_dict())
 
     def _finalize_swa(self) -> None:
         """Swap in the SWA-averaged weights at the end of fit and re-estimate
@@ -249,6 +251,7 @@ class Trainer:
     def _train_epoch(self, epoch: int, fast_dev: bool = False) -> None:
         cfg = self.cfg
         every_n_steps = max(cfg.CHECKPOINT.get("EVERY_N_TRAIN_STEPS", 0), 0)
+        vis_every = max(cfg.TRAINER.get("VIS_EVERY_N_TRAIN_STEPS", 2000), 0)
         for batch_idx, batch in enumerate(self.train_loader):
             t0 = time.time()
             sharded = self._shard(batch)
@@ -263,8 +266,15 @@ class Trainer:
             if step % cfg.TRAINER.LOG_EVERY_N_STEPS == 0:
                 self.metrics.log_scalars(step, jax.device_get(metrics),
                                          prefix="train/")
+            if vis_every and step % vis_every == 0:
+                # train-batch image dumps (reference logs `train_` images
+                # every 2000 steps, TemporalStereo.py:164-166)
+                self._log_images(
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats},
+                    batch, epoch, prefix="train_")
             if every_n_steps and step % every_n_steps == 0 and self.is_main:
-                self.ckpt.save(step, self.state)
+                self.ckpt.save(step, self.state, hparams=cfg.to_dict())
             if fast_dev and batch_idx >= 1:
                 break
 
@@ -313,7 +323,8 @@ class Trainer:
         self.metrics.log_scalars(int(self.state.step), means, prefix=prefix)
         return means
 
-    def _log_images(self, variables, batch, epoch: int) -> None:
+    def _log_images(self, variables, batch, epoch: int,
+                    prefix: str = "val/") -> None:
         """TensorBoard image dumps during validation: input, gt, predicted
         disparity + error colorbar per scale, local map, search-range
         low/high/validity maps (the reference's log_image,
@@ -340,20 +351,20 @@ class Trainer:
             n_vis = min(self.cfg.VAL.get("VIS_BATCH_INDEX", 4), batch_size)
             for bs in range(n_vis):
                 left = denormalize(batch["left"][-1][bs])
-                self.metrics.log_image(step, f"val/color_0_l/{bs}", left)
+                self.metrics.log_image(step, f"{prefix}color_0_l/{bs}", left)
                 gt = batch["disp_gt"][-1][bs, :, :, 0]
                 max_disp = float(gt.max()) if gt.max() > 0 else None
                 if max_disp:
-                    self.metrics.log_image(step, f"val/disparity_gt/{bs}",
+                    self.metrics.log_image(step, f"{prefix}disparity_gt/{bs}",
                                            disp_to_color(gt, max_disp))
                 for i, d in enumerate(outputs["disps"]):
                     disp = np.asarray(d[bs, :, :, 0])
-                    self.metrics.log_image(step, f"val/disparity_{i}/{bs}",
+                    self.metrics.log_image(step, f"{prefix}disparity_{i}/{bs}",
                                            disp_to_color(disp, max_disp))
                     if max_disp:
                         err = disp_err_to_colorbar(disp, gt, with_bar=True)
                         self.metrics.log_image(
-                            step, f"val/disp_errorbar_{i}/{bs}", err)
+                            step, f"{prefix}disp_errorbar_{i}/{bs}", err)
                 # local-map hypotheses, stacked vertically at full res
                 # (reference :543-557)
                 lm = outputs.get("local_map")
@@ -363,7 +374,7 @@ class Trainer:
                         lm * (full_w / mw), (full_h, full_w))[bs])
                     stacked = lm_full.transpose(2, 0, 1).reshape(
                         -1, full_w)
-                    self.metrics.log_image(step, f"val/local_map/{bs}",
+                    self.metrics.log_image(step, f"{prefix}local_map/{bs}",
                                            disp_to_color(stacked, max_disp))
                 # search-range low/high + validity mask per level
                 # (reference :566-612)
@@ -375,17 +386,17 @@ class Trainer:
                     high = np.asarray(_resize(sr["high"] * (full_w / w),
                                               (full_h, full_w))[bs, :, :, 0])
                     self.metrics.log_image(
-                        step, f"val/low_disparity_{lvl}/{bs}",
+                        step, f"{prefix}low_disparity_{lvl}/{bs}",
                         disp_to_color(low, max_disp))
                     self.metrics.log_image(
-                        step, f"val/high_disparity_{lvl}/{bs}",
+                        step, f"{prefix}high_disparity_{lvl}/{bs}",
                         disp_to_color(high, max_disp))
                     if max_disp:
                         mask = (gt > 0) & (gt < max_disp_cfg)
                         valid = mask & (low <= gt) & (high >= gt)
                         valid = valid | (~mask)
                         self.metrics.log_image(
-                            step, f"val/search_range_valid_{lvl}/{bs}",
+                            step, f"{prefix}search_range_valid_{lvl}/{bs}",
                             np.repeat(valid[..., None].astype(np.float32),
                                       3, axis=-1))
         except Exception as e:  # visualization must never kill training

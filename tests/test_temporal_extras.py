@@ -48,9 +48,12 @@ def test_chained_poses():
 def test_previous_with_gradient_unrolled(temporal_setup):
     cfg, model, variables = temporal_setup
     batch = jax.tree.map(jnp.asarray, make_batch(np.random.RandomState(1), 2, 1))
-    out, _, prev = multi_frame_forward(model, variables, batch, train=False,
-                                       previous_with_gradient=True)
-    assert len(out["disps"]) == 4
+    outs, _, prev = multi_frame_forward(model, variables, batch, train=False,
+                                        previous_with_gradient=True)
+    # BPTT mode returns EVERY frame's outputs (the reference sums losses over
+    # all frame_idxs, TemporalStereo.py:135-150)
+    assert isinstance(outs, list) and len(outs) == 2
+    assert all(len(o["disps"]) == 4 for o in outs)
     assert bool(prev.has_memory)
 
     # gradients flow through past frames in this mode
@@ -58,7 +61,7 @@ def test_previous_with_gradient_unrolled(temporal_setup):
         o, _, _ = multi_frame_forward(
             model, {**variables, "params": params}, batch, train=False,
             previous_with_gradient=True)
-        return jnp.mean(o["disps"][0] ** 2)
+        return sum(jnp.mean(f["disps"][0] ** 2) for f in o)
 
     g = jax.grad(loss)(variables["params"])
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))

@@ -94,6 +94,33 @@ def test_trainer_fast_dev_run(fake_root, tmp_path):
     restored = trainer.ckpt.restore(trainer.state.replace(
         step=trainer.state.step * 0))
     assert int(restored.step) == int(trainer.state.step)
+    # hparams persisted with the checkpoint (reference save_hyperparameters,
+    # TemporalStereo.py:31): the restored dict reconstructs the model config
+    hp = trainer.ckpt.load_hparams()
+    assert hp is not None
+    assert hp["MODEL"]["BACKBONE"]["VARIANT"] == "tiny"
+    assert hp["MODEL"]["AGGREGATION"]["COARSE"]["C"] == 8
+    assert hp["DATA"]["TRAIN"]["HEIGHT"] == 32
+    trainer.metrics.close()
+
+
+def test_trainer_train_image_dumps(fake_root, tmp_path):
+    """`train_` image dumps every N train steps (reference logs train images
+    every 2000 steps, TemporalStereo.py:164-166)."""
+    from temporalstereo_tpu.training.trainer import Trainer
+
+    cfg = _cfg(fake_root, tmp_path)
+    cfg.defrost()
+    cfg.TRAINER.VIS_EVERY_N_TRAIN_STEPS = 1
+    cfg.freeze()
+    trainer = Trainer(cfg)
+    dumped = []
+    trainer.metrics.log_image = (
+        lambda step, name, image: dumped.append(name))
+    trainer._train_epoch(0, fast_dev=True)
+    train_tags = [n for n in dumped if n.startswith("train_")]
+    assert train_tags, f"no train_ image dumps recorded ({dumped[:5]}...)"
+    assert any("disparity" in n for n in train_tags)
     trainer.metrics.close()
 
 
