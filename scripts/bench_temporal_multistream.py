@@ -54,8 +54,10 @@ def main():
     h, w = 384, 1248
     frames = 8
     rng = np.random.RandomState(0)
-    left = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
-    right = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    # bf16 serving input format (see bench.py): removes the full-res
+    # f32->bf16 convert + relayout DMA per frame
+    left = jnp.asarray(rng.rand(b, h, w, 3), jnp.bfloat16)
+    right = jnp.asarray(rng.rand(b, h, w, 3), jnp.bfloat16)
     K = jnp.asarray(
         np.tile(np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]],
                          np.float32), (b, 1, 1)))
