@@ -1,0 +1,239 @@
+"""The reference's full two-stage training recipe, end-to-end on the chip.
+
+Stage 1 — SceneFlow-equivalent single-frame pretraining
+  (configs/sceneflow.yaml; reference dist_train.py on sceneflow.yaml)
+Stage 2 — kitti2015-multi-equivalent 11-frame temporal fine-tune
+  (configs/kitti2015-multi.yaml): TRAINER.LOAD_FROM_CHECKPOINT warm start
+  from stage 1 with strict=False semantics (dist_train.py:70-75), SWA
+  active, post-fit DATA.TEST pass (dist_train.py:107-114).
+
+Real datasets are not in the sandbox, so both stages train on synthetic
+annfile datasets ON DISK at real resolution (540x960 frames, PFM
+disparities, PNG images, camera_data-style pose files) generated with the
+geometric stereo-video generator from cli/sanity_train.py — the system
+(config -> Trainer -> loader -> sharded steps -> checkpoints -> warm start
+-> SWA -> test), not just the step functions, is what this proves.  The
+temporal stage uses the SceneFlow dataset TYPE (dense PFM gt + GT poses)
+instead of KITTI's sparse PNG gt; everything else follows the reference
+yamls.
+
+Run:  python scripts/run_two_stage_recipe.py
+      [--data-root DIR] [--out DIR] [--stage1-epochs N] [--stage2-epochs N]
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+# ---------------------------------------------------------------- data gen
+def _write_frame(root, rel_png_l, rel_png_r, rel_pfm, left, right, disp):
+    from PIL import Image
+
+    from temporalstereo_tpu.data.formats import write_pfm
+
+    Image.fromarray((left * 255).astype(np.uint8)).save(
+        os.path.join(root, rel_png_l))
+    Image.fromarray((right * 255).astype(np.uint8)).save(
+        os.path.join(root, rel_png_r))
+    write_pfm(os.path.join(root, rel_pfm), disp.astype(np.float32))
+
+
+def _scene(rng, h, w):
+    from scipy.ndimage import gaussian_filter
+
+    img = sum(gaussian_filter(rng.rand(h, w, 3), (s, s, 0)) * g
+              for s, g in ((1, 0.5), (4, 0.3), (16, 0.2)))
+    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+    disp = gaussian_filter(rng.rand(h, w), 24)
+    disp = 5.0 + (disp - disp.min()) / (disp.max() - disp.min() + 1e-9) * 40.0
+    return img, disp
+
+
+def generate_stage1(root, n_train=48, n_eval=4, h=540, w=960, seed=11):
+    from temporalstereo_tpu.cli.sanity_train import _scanline_warp
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    anns = {"train": [], "val": [], "test": []}
+    for i in range(n_train + 2 * n_eval):
+        img, disp = _scene(rng, h, w)
+        right = _scanline_warp(img, disp)
+        lp, rp, dp = f"L{i:04d}.png", f"R{i:04d}.png", f"D{i:04d}.pfm"
+        _write_frame(root, lp, rp, dp, img, right, disp)
+        item = {"0": {"left_image_path": lp, "right_image_path": rp,
+                      "left_disp_path": dp}}
+        split = ("train" if i < n_train else
+                 "val" if i < n_train + n_eval else "test")
+        anns[split].append(item)
+    for split, items in anns.items():
+        with open(os.path.join(root, f"ann_{split}.json"), "w") as f:
+            json.dump(items, f)
+
+
+def generate_stage2(root, n_seq=4, n_frames=16, window=11, h=540, w=960,
+                    tx=0.05, seed=21):
+    """Temporal videos: static scene, stereo rig translating laterally by
+    ``tx`` per frame; poses written as camera_data-style cam-to-world rows
+    (SceneFlowDataset.extrinsic_loader inverts them)."""
+    from temporalstereo_tpu.cli.sanity_train import _scanline_warp
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    train_items, eval_items = [], []
+    for s in range(n_seq):
+        os.makedirs(os.path.join(root, f"seq{s}"), exist_ok=True)
+        img, disp = _scene(rng, h, w)
+        pose_rows = []
+        frames = {}
+        for i in range(n_frames):
+            back = (n_frames - 1 - i) * tx  # newest frame at the origin
+            flow = disp * back              # baseline = 1.0
+            left_i = _scanline_warp(img, flow)
+            disp_i = _scanline_warp(disp, flow)
+            right_i = _scanline_warp(img, flow + disp_i)
+            lp = f"seq{s}/L{i:04d}.png"
+            rp = f"seq{s}/R{i:04d}.png"
+            dp = f"seq{s}/D{i:04d}.pfm"
+            _write_frame(root, lp, rp, dp, left_i, right_i, disp_i)
+            frames[i] = (lp, rp, dp)
+            # cam-to-world: camera at world x = +back (see sanity_train)
+            c2w = np.eye(4)
+            c2w[0, 3] = back
+            pose_rows.append(" ".join(f"{v:.9f}" for v in c2w.reshape(-1)))
+        pose_path = f"seq{s}/camera_data.txt"
+        with open(os.path.join(root, pose_path), "w") as f:
+            f.write("\n".join(pose_rows) + "\n")
+        for end in range(window - 1, n_frames):
+            item = {"extrinsic_path": pose_path}
+            for fi in range(-(window - 1), 1):
+                lp, rp, dp = frames[end + fi]
+                item[str(fi)] = {"left_image_path": lp,
+                                 "right_image_path": rp,
+                                 "left_disp_path": dp}
+            (eval_items if end == n_frames - 1 else train_items).append(item)
+    with open(os.path.join(root, "ann_train.json"), "w") as f:
+        json.dump(train_items, f)
+    with open(os.path.join(root, "ann_eval.json"), "w") as f:
+        json.dump(eval_items, f)
+
+
+# ---------------------------------------------------------------- stages
+def _data_opts(phase, root, ann, height, width, batch, frame_idxs):
+    return [
+        f"DATA.{phase}.TYPE", "SceneFlow",
+        f"DATA.{phase}.DATA_ROOT", root,
+        f"DATA.{phase}.ANNFILE", os.path.join(root, ann),
+        f"DATA.{phase}.HEIGHT", str(height),
+        f"DATA.{phase}.WIDTH", str(width),
+        f"DATA.{phase}.BATCH_SIZE", str(batch),
+        f"DATA.{phase}.NUM_WORKERS", "2",
+        f"DATA.{phase}.FRAME_IDXS", frame_idxs,
+    ]
+
+
+def _run(tag, args_list, log_path):
+    print(f"[{tag}] {' '.join(args_list[:4])} ... -> {log_path}", flush=True)
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        proc = subprocess.run(
+            [sys.executable, "-m", "temporalstereo_tpu.cli.train",
+             *args_list], cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
+    dt = time.time() - t0
+    txt = open(log_path).read()
+    if proc.returncode != 0:
+        print(txt[-4000:])
+        raise SystemExit(f"{tag} failed (rc={proc.returncode})")
+    print(f"[{tag}] done in {dt / 60:.1f} min", flush=True)
+    return txt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default="/root/recipe_data")
+    ap.add_argument("--out", default="/root/recipe_out")
+    ap.add_argument("--stage1-epochs", type=int, default=3)
+    ap.add_argument("--stage2-epochs", type=int, default=2)
+    args = ap.parse_args()
+
+    d1 = os.path.join(args.data_root, "stage1")
+    d2 = os.path.join(args.data_root, "stage2")
+    if not os.path.exists(os.path.join(d1, "ann_train.json")):
+        print("generating stage-1 data...", flush=True)
+        generate_stage1(d1)
+    if not os.path.exists(os.path.join(d2, "ann_train.json")):
+        print("generating stage-2 data...", flush=True)
+        generate_stage2(d2)
+
+    os.makedirs(args.out, exist_ok=True)
+    win = "[-10, -9, -8, -7, -6, -5, -4, -3, -2, -1, 0]"
+
+    # ---- stage 1: single-frame pretraining -------------------------------
+    s1_opts = [
+        "--config-file", "configs/sceneflow.yaml",
+        "LOG_DIR", args.out,
+        "TRAINER.VERSION", "recipe/stage1",
+        "TRAINER.MAX_EPOCHS", str(args.stage1_epochs),
+        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS", str(args.stage1_epochs),
+        "TRAINER.FLUSH_LOGS_EVERY_N_STEPS", "4",
+        "TRAINER.VIS_EVERY_N_TRAIN_STEPS", "0",
+        "VAL.VIS_BATCH_INDEX", "0",
+        "CHECKPOINT.EVERY_N_EPOCHS", str(args.stage1_epochs),
+        *_data_opts("TRAIN", d1, "ann_train.json", 512, 960, 4, "[0]"),
+        *_data_opts("VAL", d1, "ann_val.json", 512, 960, 1, "[0]"),
+        *_data_opts("TEST", d1, "ann_test.json", 512, 960, 1, "[0]"),
+    ]
+    s1_log = os.path.join(args.out, "stage1.log")
+    s1 = _run("stage1", s1_opts, s1_log)
+    s1_weights = os.path.join(args.out, "TemporalStereo", "recipe/stage1",
+                              "weights_final.msgpack")
+    assert os.path.exists(s1_weights), s1_weights
+
+    # ---- stage 2: 11-frame temporal fine-tune with warm start + SWA ------
+    s2_opts = [
+        "--config-file", "configs/kitti2015-multi.yaml",
+        "LOG_DIR", args.out,
+        "TRAINER.VERSION", "recipe/stage2",
+        "TRAINER.MAX_EPOCHS", str(args.stage2_epochs),
+        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS", str(args.stage2_epochs),
+        "TRAINER.FLUSH_LOGS_EVERY_N_STEPS", "2",
+        "TRAINER.VIS_EVERY_N_TRAIN_STEPS", "0",
+        "TRAINER.LOAD_FROM_CHECKPOINT", s1_weights,
+        "TRAINER.SWA.ENABLED", "True",
+        "TRAINER.SWA.START_FRACTION", "0.5",
+        "TRAINER.SWA.BN_UPDATE_STEPS", "4",
+        "VAL.VIS_BATCH_INDEX", "0",
+        "VAL.EVAL_DISPARITY_IDS", "[0]",
+        "CHECKPOINT.EVERY_N_EPOCHS", str(args.stage2_epochs),
+        "SCHEDULER.MULTI_STEP_LR.MILESTONES", "[2]",
+        *_data_opts("TRAIN", d2, "ann_train.json", 320, 896, 2, win),
+        *_data_opts("VAL", d2, "ann_eval.json", 384, 896, 1, win),
+        *_data_opts("TEST", d2, "ann_eval.json", 384, 896, 1, win),
+    ]
+    s2_log = os.path.join(args.out, "stage2.log")
+    s2 = _run("stage2", s2_opts, s2_log)
+
+    # ---- summary ---------------------------------------------------------
+    warm = re.search(r"warm-started (\d+) tensors", s2)
+    losses1 = re.findall(r"loss[ =:]+([0-9.]+)", s1)
+    losses2 = re.findall(r"loss[ =:]+([0-9.]+)", s2)
+    epes = re.findall(r"disparity_0/all\s+(?:[0-9.]+\s+){4}([0-9.]+)", s2)
+    print("\n================= RECIPE SUMMARY =================")
+    print(f"stage1: losses {losses1[:2]} -> {losses1[-2:]}")
+    print(f"stage2 warm start: "
+          f"{warm.group(1) if warm else '??'} tensors from stage 1")
+    print(f"stage2: losses {losses2[:2]} -> {losses2[-2:]}")
+    print(f"stage2 val/test EPEs: {epes}")
+    print(f"logs: {s1_log} / {s2_log}")
+
+
+if __name__ == "__main__":
+    main()

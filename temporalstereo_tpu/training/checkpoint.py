@@ -132,6 +132,20 @@ def load_any_weights(variables: Dict[str, Any], path: str):
         from ..utils.torch_import import load_reference_checkpoint
 
         return load_reference_checkpoint(variables, path)
+    if os.path.isdir(path):
+        # an orbax checkpoint directory written by CheckpointManager — the
+        # framework's own training output warm-starts the next stage
+        mgr = CheckpointManager(path)
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint steps in {path}")
+        restored = mgr.mgr.restore(step)
+        weights = {"params": restored["params"],
+                   "batch_stats": restored.get("batch_stats", {})}
+        params, stats, n = warm_start(variables["params"],
+                                      variables.get("batch_stats", {}),
+                                      weights, strict=False)
+        return {"params": params, "batch_stats": stats}, n
     weights = load_weights(path)
     params, stats, n = warm_start(variables["params"],
                                   variables.get("batch_stats", {}),

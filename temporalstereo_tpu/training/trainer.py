@@ -207,6 +207,12 @@ class Trainer:
         if self.is_main:
             self.ckpt.save(int(self.state.step), self.state,
                            hparams=cfg.to_dict())
+            # standalone weights for LOAD_FROM_CHECKPOINT warm starts (the
+            # reference's strict=False two-stage recipe, dist_train.py:70-75)
+            from .checkpoint import save_weights
+
+            save_weights(os.path.join(self.exp_dir, "weights_final.msgpack"),
+                         self.state.params, self.state.batch_stats)
 
     def _finalize_swa(self) -> None:
         """Swap in the SWA-averaged weights at the end of fit and re-estimate
@@ -331,6 +337,8 @@ class Trainer:
         TemporalStereo.py:488-622)."""
         if not self.is_main:
             return
+        if self.cfg.VAL.get("VIS_BATCH_INDEX", 4) <= 0:
+            return  # dumps disabled — skip the (eager) extra forward too
         try:
             import numpy as np
 

@@ -104,6 +104,39 @@ def test_trainer_fast_dev_run(fake_root, tmp_path):
     trainer.metrics.close()
 
 
+def test_load_any_weights_accepts_orbax_dir_and_final_msgpack(fake_root,
+                                                              tmp_path):
+    """A finished run warm-starts the next stage from EITHER its orbax
+    checkpoint directory or the weights_final.msgpack the Trainer writes at
+    the end of fit — the two-stage recipe's LOAD_FROM_CHECKPOINT path."""
+    from temporalstereo_tpu.training.checkpoint import load_any_weights
+    from temporalstereo_tpu.training.trainer import Trainer
+
+    cfg = _cfg(fake_root, tmp_path)
+    trainer = Trainer(cfg)
+    trainer.fit()
+    exp_dir = trainer.exp_dir
+    trainer.metrics.close()
+
+    msgpack_path = os.path.join(exp_dir, "weights_final.msgpack")
+    assert os.path.exists(msgpack_path)
+
+    fresh = {"params": jax.tree.map(lambda x: x * 0, trainer.state.params),
+             "batch_stats": jax.tree.map(lambda x: x * 0,
+                                         trainer.state.batch_stats)}
+    total = (len(jax.tree.leaves(fresh["params"]))
+             + len(jax.tree.leaves(fresh["batch_stats"])))
+
+    loaded, n = load_any_weights(fresh, msgpack_path)
+    assert n == total
+    loaded_dir, n_dir = load_any_weights(
+        fresh, os.path.join(exp_dir, "checkpoints"))
+    assert n_dir == total
+    a = jax.tree.leaves(loaded["params"])[0]
+    b = jax.tree.leaves(loaded_dir["params"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_train_image_dumps(fake_root, tmp_path):
     """`train_` image dumps every N train steps (reference logs train images
     every 2000 steps, TemporalStereo.py:164-166)."""
