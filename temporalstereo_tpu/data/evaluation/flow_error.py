@@ -12,15 +12,25 @@ import jax.numpy as jnp
 
 
 def calc_flow_error(est_flow: jnp.ndarray, gt_flow: jnp.ndarray,
-                    mask: Optional[jnp.ndarray] = None
-                    ) -> Dict[str, jnp.ndarray]:
+                    mask: Optional[jnp.ndarray] = None,
+                    lb: float = 0.0, ub: float = 400.0,
+                    sparse: bool = False) -> Dict[str, jnp.ndarray]:
+    """Reference flow_calc_error semantics (flow_pixel_error.py:9-96):
+    valid = finite gt, |gt| magnitude in (lb, ub), and — when ``sparse`` —
+    not the all-zero fill value; ``mask`` intersects an extra caller mask."""
     assert est_flow.shape == gt_flow.shape
     err = jnp.sqrt(jnp.sum((est_flow - gt_flow) ** 2, axis=-1))   # [B, H, W]
     mag = jnp.sqrt(jnp.sum(gt_flow ** 2, axis=-1))
-    if mask is None:
-        maskf = jnp.ones_like(err)
-    else:
-        maskf = mask.reshape(err.shape).astype(err.dtype)
+    valid = ~(jnp.isnan(gt_flow[..., 0]) | jnp.isnan(gt_flow[..., 1]))
+    if sparse:
+        eps = 1e-12
+        valid = valid & ~((jnp.abs(gt_flow[..., 0]) < eps)
+                          & (jnp.abs(gt_flow[..., 1]) < eps))
+    valid = valid & (mag > lb) & (mag < ub)
+    maskf = valid.astype(err.dtype)
+    if mask is not None:
+        maskf = maskf * mask.reshape(err.shape).astype(err.dtype)
+    err = jnp.nan_to_num(err) * maskf
     total = jnp.maximum(maskf.sum(), 1.0)
 
     out = {"epe": (err * maskf).sum() / total}
@@ -33,8 +43,11 @@ def calc_flow_error(est_flow: jnp.ndarray, gt_flow: jnp.ndarray,
 
 
 def do_flow_evaluation(est_flow: jnp.ndarray, gt_flow: jnp.ndarray,
-                       mask: Optional[jnp.ndarray] = None
-                       ) -> Dict[str, jnp.ndarray]:
+                       mask: Optional[jnp.ndarray] = None,
+                       lb: float = 0.0, ub: float = 400.0,
+                       sparse: bool = False) -> Dict[str, jnp.ndarray]:
+    """Reference do_flow_evaluation (flow_eval.py:6-37)."""
     if est_flow is None or gt_flow is None:
         return {}
-    return calc_flow_error(est_flow, gt_flow, mask)
+    return calc_flow_error(est_flow, gt_flow, mask, lb=lb, ub=ub,
+                           sparse=sparse)

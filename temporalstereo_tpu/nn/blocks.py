@@ -326,25 +326,34 @@ class StereoDRNetRefinement(nn.Module):
 
 
 class SPP3D(nn.Module):
-    """3D spatial pyramid pooling over a cost volume (SPP3D.py:1-51)."""
+    """3D spatial pyramid pooling over a cost volume (SPP3D.py:8-49),
+    reference-exact: per-stride (D,H,W) avg-pooling clamped to the volume
+    extent (floor semantics — the non-divisible tail is discarded, torch
+    avg_pool3d ceil_mode=False), 16-channel 1x1x1 branch convs, trilinear
+    align-corners upsample, concat with the input, then a full 3x3x3 fuse
+    conv + a plain 1x1x1 projection."""
     in_planes: int
+    strides: Tuple[int, ...] = (2, 4, 8, 16)
     norm: str = "BN3d"
-    activation: Activation = "SiLU"
+    activation: Activation = "ReLU"
     dtype: Any = None
 
     @nn.compact
     def __call__(self, cost: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, d, h, w, c = cost.shape
         branches = [cost]
-        for pool in (2, 4):
-            if h % pool or w % pool:
-                continue
-            pooled = avg_pool3d(cost, (1, pool, pool))
-            conv = Conv3d(self.in_planes, (1, 1, 1), 1, 0, use_bias=False,
+        for i, stride in enumerate(self.strides):
+            kd, kh, kw = min(d, stride), min(h, stride), min(w, stride)
+            x = cost[:, :d // kd * kd, :h // kh * kh, :w // kw * kw, :]
+            pooled = avg_pool3d(x, (kd, kh, kw))
+            conv = Conv3d(16, (1, 1, 1), 1, 0, use_bias=False,
                           norm=self.norm, activation=self.activation,
-                          dtype=self.dtype)(pooled, train)
+                          dtype=self.dtype, name=f"pool_conv_{i}")(
+                pooled, train)
             branches.append(resize_trilinear(conv, (d, h, w)))
         fused = jnp.concatenate(branches, axis=-1)
+        fused = Conv3d(self.in_planes, (3, 3, 3), 1, 1, use_bias=False,
+                       norm=self.norm, activation=self.activation,
+                       dtype=self.dtype, name="fuse_0")(fused, train)
         return Conv3d(self.in_planes, (1, 1, 1), 1, 0, use_bias=False,
-                      norm=self.norm, activation=self.activation,
-                      dtype=self.dtype)(fused, train)
+                      dtype=self.dtype, name="fuse_1")(fused, train)

@@ -257,8 +257,13 @@ class Conv3d(nn.Module):
                         kernel_init=init, dtype=self.dtype)(xf)
             y = y.reshape(b, y.shape[1], h, w, self.features)
         else:
-            raise NotImplementedError(
-                f"non-separable 3D conv kernel {k} stride {s} padding {p}")
+            # general (non-separable) 3D conv — e.g. the SPP3D fuse's full
+            # 3x3x3 (SPP3D.py:33); flax nn.Conv handles N-D kernels on
+            # NDHWC directly
+            y = nn.Conv(self.features, k, strides=s,
+                        padding=tuple((pi, pi) for pi in p),
+                        kernel_dilation=d, use_bias=self.use_bias,
+                        kernel_init=init, dtype=self.dtype)(x)
 
         y = Norm(kind=self.norm, dtype=self.dtype)(y, train=train)
         return get_activation(self.activation)(y)

@@ -78,7 +78,16 @@ def correlation1d(fm1: jnp.ndarray, fm2: jnp.ndarray, patch_size: int = 21,
 
 class CorrBlock:
     """RAFT-style all-pairs stereo correlation pyramid + radius lookup
-    (raft_corr.py:4-67).  fmap1/fmap2: [B, H, W, C]."""
+    (raft_corr.py:4-67).  fmap1/fmap2: [B, H, W, C].
+
+    Lookup semantics match the reference's grid_sample call EXACTLY
+    (pinned against the real code, tests/test_refshim_extras.py),
+    including its align_corners=False quirks: normalized x uses the
+    FULL-resolution ``w-1`` at every level while the sampled level has
+    width ``w/2^l`` (so the effective pixel position is
+    ``(x/2^l + delta) * wl/(w-1) - 0.5``), and the constant y=-1 grid
+    coordinate is divided by ``2^l`` too, which scales level ``l`` by
+    ``1 - 2^-(l+1)`` through the zero-padded bilinear y-tap."""
 
     def __init__(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                  num_levels: int = 4, radius: int = 4):
@@ -86,7 +95,8 @@ class CorrBlock:
         self.radius = radius
         b, h, w, c = fmap1.shape
         # all-pairs along the scanline: [B, H, W1, W2]
-        corr = jnp.einsum("bhic,bhjc->bhij", fmap1, fmap2) / jnp.sqrt(
+        corr = jnp.einsum("bhic,bhjc->bhij", fmap1, fmap2,
+                          precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
             jnp.asarray(c, fmap1.dtype))
         self.pyramid: List[jnp.ndarray] = []
         self.shape = (b, h, w)
@@ -104,24 +114,38 @@ class CorrBlock:
         out = []
         x0 = coords.reshape(-1)  # [BHW]
         for lvl, corr in enumerate(self.pyramid):
-            xs = x0 / (2 ** lvl)
             wl = corr.shape[-1]
             offsets = jnp.arange(-r, r + 1, dtype=coords.dtype)
-            pos = xs[:, None] + offsets[None, :]           # [BHW, 2r+1]
+            # reference pixel position (see class docstring)
+            pos = ((x0[:, None] / (2 ** lvl) + offsets[None, :])
+                   * (wl / (w - 1)) - 0.5)
             lo = jnp.floor(pos)
             frac = pos - lo
             lo_i = jnp.clip(lo.astype(jnp.int32), 0, wl - 1)
-            hi_i = jnp.clip(lo_i + 1, 0, wl - 1)
-            v_lo = jnp.take_along_axis(corr, lo_i, axis=1)
-            v_hi = jnp.take_along_axis(corr, hi_i, axis=1)
-            valid = ((pos >= 0) & (pos <= wl - 1)).astype(corr.dtype)
-            out.append(((1 - frac) * v_lo + frac * v_hi) * valid)
+            # hi tap index from the UNCLIPPED floor: for pos < 0 the hi tap
+            # is pixel 0, not lo_i + 1
+            hi_i = jnp.clip(lo.astype(jnp.int32) + 1, 0, wl - 1)
+            v_lo = (jnp.take_along_axis(corr, lo_i, axis=1)
+                    * ((lo >= 0) & (lo <= wl - 1)).astype(corr.dtype))
+            v_hi = (jnp.take_along_axis(corr, hi_i, axis=1)
+                    * ((lo + 1 >= 0) & (lo + 1 <= wl - 1)).astype(corr.dtype))
+            y_weight = 1.0 - 0.5 ** (lvl + 1)
+            out.append(((1 - frac) * v_lo + frac * v_hi) * y_weight)
         feat = jnp.concatenate(out, axis=-1)
         return feat.reshape(b, h, w, -1)
 
 
 class FlowCorrBlock:
-    """RAFT all-pairs 2D correlation pyramid (raft_corr.py:71-144)."""
+    """RAFT all-pairs 2D pyramid (raft_corr.py:71-144).
+
+    Reference-exact semantics (pinned against the real code,
+    tests/test_refshim_extras.py): the "correlation" is NOT a dot product —
+    it is the GRAM-matrix expression ``f1_i.f1_j - 2 f1_i.f2_j + f2_i.f2_j``
+    (raft_corr.py:117-122; only its diagonal is a squared distance), and the
+    lookup window is built from ``meshgrid(dy, dx)`` whose first channel
+    lands on the x coordinate — window entry (i, j) samples
+    ``(x + delta[i], y + delta[j])``, the transpose of the conventional
+    ordering."""
 
     def __init__(self, fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                  num_levels: int = 4, radius: int = 4):
@@ -129,8 +153,13 @@ class FlowCorrBlock:
         self.radius = radius
         b, h, w, c = fmap1.shape
         self.shape = (b, h, w)
-        corr = jnp.einsum("bijc,bklc->bijkl", fmap1, fmap2) / jnp.sqrt(
-            jnp.asarray(c, fmap1.dtype))
+        f1 = fmap1.reshape(b, h * w, c)
+        f2 = fmap2.reshape(b, h * w, c)
+        hi = jax.lax.Precision.HIGHEST
+        x2 = jnp.einsum("bic,bjc->bij", f1, f1, precision=hi)
+        y2 = jnp.einsum("bic,bjc->bij", f2, f2, precision=hi)
+        xy = jnp.einsum("bic,bjc->bij", f1, f2, precision=hi)
+        corr = (x2 - 2 * xy + y2) / jnp.sqrt(jnp.asarray(c, fmap1.dtype))
         corr = corr.reshape(b * h * w, h, w, 1)
         self.pyramid = [corr]
         for _ in range(num_levels - 1):
@@ -144,10 +173,10 @@ class FlowCorrBlock:
         r = self.radius
         out = []
         flat = coords.reshape(b * h * w, 1, 1, 2)
-        dy, dx = jnp.meshgrid(jnp.arange(-r, r + 1, dtype=coords.dtype),
-                              jnp.arange(-r, r + 1, dtype=coords.dtype),
-                              indexing="ij")
-        delta = jnp.stack([dx, dy], axis=-1)[None]          # [1, 2r+1, 2r+1, 2]
+        d = jnp.arange(-r, r + 1, dtype=coords.dtype)
+        di, dj = jnp.meshgrid(d, d, indexing="ij")
+        # reference window ordering: entry (i, j) offsets x by d[i], y by d[j]
+        delta = jnp.stack([di, dj], axis=-1)[None]          # [1, 2r+1, 2r+1, 2]
         for lvl, corr in enumerate(self.pyramid):
             centroid = flat / (2 ** lvl)
             pos = centroid + delta                           # [BHW, P, P, 2]

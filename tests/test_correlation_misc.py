@@ -40,9 +40,12 @@ def test_correlation1d_shape(rng):
     assert out.shape == (1, 4, 10, 5)
 
 
-def test_corrblock_lookup_integer_coords(rng):
-    """Looking up integer coordinates at level 0 returns the exact all-pairs
-    correlation entries."""
+def test_corrblock_lookup_matches_reference_formula(rng):
+    """Level-0 lookup follows the reference's exact grid_sample semantics
+    (raft_corr.py:40-46, align_corners=False quirks — see CorrBlock
+    docstring): pixel position x*wl/(w-1) - 0.5 and a 0.5 y-tap weight at
+    level 0 (pinned against the real reference in
+    tests/test_refshim_extras.py; this is the device-free regression)."""
     b, h, w, c = 1, 3, 8, 4
     f1 = rng.randn(b, h, w, c).astype(np.float32)
     f2 = rng.randn(b, h, w, c).astype(np.float32)
@@ -51,10 +54,21 @@ def test_corrblock_lookup_integer_coords(rng):
         np.broadcast_to(np.arange(w, dtype=np.float32), (b, h, w)).copy())
     out = np.asarray(cb(coords))
     assert out.shape == (b, h, w, 2 * 3)
-    corr = np.einsum("bhic,bhjc->bhij", f1, f2) / np.sqrt(c)
-    # center tap of level 0 = corr[b,h,i,i]
-    diag = corr[0, :, np.arange(w), np.arange(w)].T
-    np.testing.assert_allclose(out[0, :, :, 1], diag, rtol=1e-4, atol=1e-4)
+
+    corr = (np.einsum("bhic,bhjc->bhij", f1, f2)
+            / np.sqrt(c)).reshape(b * h * w, w)
+    x = np.asarray(coords).reshape(-1)
+    pos = x * (w / (w - 1)) - 0.5        # level 0 center tap (delta = 0)
+    lo = np.floor(pos)
+    frac = pos - lo
+    lo_i = np.clip(lo.astype(int), 0, w - 1)
+    hi_i = np.clip(lo.astype(int) + 1, 0, w - 1)
+    rows = np.arange(b * h * w)
+    v_lo = corr[rows, lo_i] * ((lo >= 0) & (lo <= w - 1))
+    v_hi = corr[rows, hi_i] * ((lo + 1 >= 0) & (lo + 1 <= w - 1))
+    expect = ((1 - frac) * v_lo + frac * v_hi) * 0.5
+    np.testing.assert_allclose(out[..., 1].reshape(-1), expect, rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_flow_corrblock_shapes(rng):
