@@ -126,6 +126,66 @@ def test_mirror_matches_real_reference_full_width(real_and_sd, real_disps):
 
 
 @pytest.mark.slow
+def test_export_strict_loads_into_real_reference(real_and_sd):
+    """Deploy direction: a flax model's weights exported with
+    utils/torch_export strict-load into the REAL reference composition and
+    reproduce the flax forward — previously proven only against the torch
+    mirror.  Weights come from the real model's state_dict routed through
+    importer -> flax -> exporter, so the round trip is exercised too."""
+    from temporalstereo_tpu.utils.torch_export import (
+        export_reference_checkpoint,
+    )
+
+    _, sd = real_and_sd
+    cfg = get_cfg(opts=["TRAINER.PRECISION", "f32"])
+    model = build_model(cfg, dtype=None)
+    left, right = _inputs(seed=77)
+    jl, jr = jnp.asarray(left), jnp.asarray(right)
+    variables = model.init({"params": jax.random.PRNGKey(5)}, jl, jr,
+                           None, False)
+    p, s, _ = import_reference_checkpoint(sd, V2S_GROUPS)
+    params, stats, _ = warm_start(variables["params"],
+                                  variables["batch_stats"],
+                                  {"params": p, "batch_stats": s},
+                                  strict=False)
+
+    exported = export_reference_checkpoint(params, stats, V2S_GROUPS)
+    # bit-exact round trip: real sd -> flax -> exported sd
+    missing = set(sd) - set(exported)
+    extra = set(exported) - set(sd)
+    assert not missing and not extra, (sorted(missing)[:5],
+                                       sorted(extra)[:5])
+    for k in sd:
+        if "num_batches_tracked" in k:
+            continue
+        np.testing.assert_array_equal(
+            exported[k], sd[k], err_msg=f"round-trip mismatch at {k}")
+
+    real2 = _real_reference_model()
+    incompat = real2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}, strict=True)
+    assert not incompat.missing_keys and not incompat.unexpected_keys
+
+    outputs, _ = model.apply({"params": params, "batch_stats": stats},
+                             jl, jr, None, False)
+    batch = {
+        ("color_aug", 0, "l"): torch.from_numpy(
+            left.transpose(0, 3, 1, 2)).contiguous(),
+        ("color_aug", 0, "r"): torch.from_numpy(
+            right.transpose(0, 3, 1, 2)).contiguous(),
+    }
+    with torch.no_grad():
+        outs = real2.forward(batch, {}, is_train=False, timestamp=0)
+    for i, (f, t) in enumerate(zip(outputs["disps"],
+                                   outs[("disps", 0, "l")])):
+        fv = np.asarray(f[0, :, :, 0])
+        tv = t[0, 0].numpy()
+        rel = np.abs(fv - tv).max() / (np.abs(tv).mean() + 1e-6)
+        assert rel < 2e-3, f"exported-weights disparity {i}: rel={rel:.2e}"
+
+
+@pytest.mark.slow
 def test_flax_matches_real_reference_full_width(real_and_sd, real_disps):
     """Flax model at deployed V2S widths under the REAL reference's weights
     (imported with import_reference_checkpoint) reproduces the real
