@@ -68,9 +68,21 @@ def main() -> None:
         gt = batch["disp_gt"][-1][0, :, :, 0]
         msg = f"sample {idx}"
         if np.abs(gt).max() > 0:
-            err = calc_error(jnp.asarray(disp), jnp.asarray(gt), lb=0, ub=192)
+            est = disp
+            if est.shape != gt.shape:
+                # NATIVE-resolution evaluation (reference protocol)
+                from ..data.transforms import resize_disparity
+
+                est = resize_disparity(est, gt.shape)
+            err = calc_error(jnp.asarray(est), jnp.asarray(gt), lb=0, ub=192)
             msg += f" epe={float(err['epe']):.3f} 3px={float(err['3px']):.2f}%"
-            errmap = disp_err_to_colorbar(disp, gt)[: left.shape[0]]
+            errmap = disp_err_to_colorbar(est, gt)[: gt.shape[0]]
+            if errmap.shape[1] != left.shape[1]:
+                from PIL import Image as _Image
+
+                errmap = np.asarray(_Image.fromarray(
+                    (np.clip(errmap, 0, 1) * 255).astype(np.uint8)).resize(
+                    (left.shape[1], left.shape[0]))) / 255.0
             panels.append(errmap)
         panel = np.concatenate(panels, axis=0)
         Image.fromarray((np.clip(panel, 0, 1) * 255).astype(np.uint8)).save(

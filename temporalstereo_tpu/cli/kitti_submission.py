@@ -66,8 +66,16 @@ def main() -> None:
 
         gt = batch.get("disp_gt")
         if gt is not None and np.abs(gt[-1]).max() > 0:
-            err = calc_error(jnp.asarray(disp),
-                             jnp.asarray(gt[-1][0, :, :, 0]), lb=0, ub=192)
+            gt_map = gt[-1][0, :, :, 0]
+            est = disp
+            if est.shape != gt_map.shape:
+                # evaluate at NATIVE gt resolution (reference protocol,
+                # TemporalStereo.py:183): width-ratio value scaling
+                from ..data.transforms import resize_disparity
+
+                est = resize_disparity(est, gt_map.shape)
+            err = calc_error(jnp.asarray(est),
+                             jnp.asarray(gt_map), lb=0, ub=192)
             p3 = float(err["3px"])
             stats3.append(p3)
             print(f"[{idx + 1}/{len(dataset)}] {name}: 3PE={p3:.3f}%")

@@ -189,13 +189,14 @@ class StereoDataset:
             rights = [T.right_occlusion_aug(a, self.rng) for a in rights]
         else:
             if (ih, iw) != (th, tw):
+                # eval: only the IMAGES are resized to the model size; gt
+                # disparities stay at NATIVE resolution and predictions are
+                # resized back for metrics — the reference protocol
+                # (base.py:177-185 resizes color_aug only;
+                # validation_step :174-183 interpolates outputs to gt size)
                 sx, sy = tw / iw, th / ih
                 lefts = [T.resize_image(a, (th, tw)) for a in lefts]
                 rights = [T.resize_image(a, (th, tw)) for a in rights]
-                disps = [T.resize_disparity(a, (th, tw)) for a in disps]
-                if disps_r is not None:
-                    disps_r = [T.resize_disparity(a, (th, tw))
-                               for a in disps_r]
                 K = T.scale_intrinsics(K, sx, sy)
 
         sample = {

@@ -112,12 +112,19 @@ def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
     do_occ = cfg.VAL.get("DO_OCCLUSION_EVALUATION", False)
 
     def eval_step(variables, batch) -> Dict[str, jnp.ndarray]:
+        from ..ops.interpolate import resize_bilinear
+
         outputs, _, _ = multi_frame_forward(model, variables, batch,
                                             train=False)
         gt = batch["disp_gt"][-1]
         gt_right = batch.get("disp_gt_right")
         metrics = {}
-        disps = outputs["disps"]
+        # evaluate at the GT's NATIVE resolution: predictions are resized
+        # with width-ratio value scaling (reference validation_step :183)
+        gh, gw = gt.shape[1:3]
+        disps = [resize_bilinear(d * (gw / d.shape[2]), (gh, gw))
+                 if d.shape[1:3] != (gh, gw) else d
+                 for d in outputs["disps"]]
         for i in eval_ids:
             if i >= len(disps):
                 continue

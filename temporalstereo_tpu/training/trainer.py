@@ -360,7 +360,10 @@ class Trainer:
             for bs in range(n_vis):
                 left = denormalize(batch["left"][-1][bs])
                 self.metrics.log_image(step, f"{prefix}color_0_l/{bs}", left)
+                # gt is at NATIVE resolution in eval batches; error maps
+                # compare predictions resized to it (reference :183)
                 gt = batch["disp_gt"][-1][bs, :, :, 0]
+                gh, gw = gt.shape
                 max_disp = float(gt.max()) if gt.max() > 0 else None
                 if max_disp:
                     self.metrics.log_image(step, f"{prefix}disparity_gt/{bs}",
@@ -370,7 +373,13 @@ class Trainer:
                     self.metrics.log_image(step, f"{prefix}disparity_{i}/{bs}",
                                            disp_to_color(disp, max_disp))
                     if max_disp:
-                        err = disp_err_to_colorbar(disp, gt, with_bar=True)
+                        if disp.shape != (gh, gw):
+                            disp_g = np.asarray(_resize(
+                                d * (gw / d.shape[2]),
+                                (gh, gw))[bs, :, :, 0])
+                        else:
+                            disp_g = disp
+                        err = disp_err_to_colorbar(disp_g, gt, with_bar=True)
                         self.metrics.log_image(
                             step, f"{prefix}disp_errorbar_{i}/{bs}", err)
                 # local-map hypotheses, stacked vertically at full res
@@ -389,10 +398,12 @@ class Trainer:
                 for i, sr in enumerate(outputs.get("search_ranges", [])):
                     h, w = sr["low"].shape[1:3]
                     lvl = int(np.log2(max(full_w // w, 1)))
-                    low = np.asarray(_resize(sr["low"] * (full_w / w),
-                                             (full_h, full_w))[bs, :, :, 0])
-                    high = np.asarray(_resize(sr["high"] * (full_w / w),
-                                              (full_h, full_w))[bs, :, :, 0])
+                    # resized to the GT grid so the validity comparison is
+                    # at native resolution
+                    low = np.asarray(_resize(sr["low"] * (gw / w),
+                                             (gh, gw))[bs, :, :, 0])
+                    high = np.asarray(_resize(sr["high"] * (gw / w),
+                                              (gh, gw))[bs, :, :, 0])
                     self.metrics.log_image(
                         step, f"{prefix}low_disparity_{lvl}/{bs}",
                         disp_to_color(low, max_disp))

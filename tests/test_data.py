@@ -139,6 +139,52 @@ def test_eval_resize_scales_K_and_disp(fake_sceneflow):
     # fx scaled by 0.5
     full_fx = 1050.0 / 960 * w
     assert abs(s["K"][0, 0] - full_fx * 0.5) < 1e-3
+    # gt stays at NATIVE resolution in eval mode — metrics are computed at
+    # gt resolution with predictions resized back (reference base.py:177-185
+    # resizes only color_aug; validation_step :174-183)
+    assert s["disp_gt"].shape == (1, h, w, 1)
+
+
+def test_eval_step_evaluates_at_native_gt_resolution(fake_sceneflow):
+    """make_eval_step resizes predictions (width-ratio value scaling) to
+    the gt grid before calc_error — reference validation_step :183."""
+    import jax
+    import jax.numpy as jnp
+
+    from temporalstereo_tpu.config import get_cfg
+    from temporalstereo_tpu.data.evaluation import calc_error
+    from temporalstereo_tpu.models import build_model
+    from temporalstereo_tpu.ops.interpolate import resize_bilinear
+    from temporalstereo_tpu.training.step import make_eval_step
+
+    cfg = get_cfg(opts=[
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "MODEL.AGGREGATION.PRECISE.C", "8",
+        "TRAINER.PRECISION", "f32",
+        "VAL.EVAL_DISPARITY_IDS", "[0]",
+    ])
+    model = build_model(cfg, dtype=None)
+    th, tw, gh, gw = 32, 64, 64, 96  # model size < native gt size
+    rng2 = np.random.RandomState(9)
+    batch = {
+        "left": jnp.asarray(rng2.rand(1, 1, th, tw, 3), jnp.float32),
+        "right": jnp.asarray(rng2.rand(1, 1, th, tw, 3), jnp.float32),
+        "disp_gt": jnp.asarray(rng2.rand(1, 1, gh, gw, 1) * 20.0,
+                               jnp.float32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch["left"][0], batch["right"][0], None, False)
+    metrics = make_eval_step(model, cfg)(variables, batch)
+
+    outputs, _ = model.apply(variables, batch["left"][0], batch["right"][0],
+                             None, False)
+    est = resize_bilinear(outputs["disps"][0] * (gw / tw), (gh, gw))
+    expect = calc_error(est, batch["disp_gt"][-1], lb=0, ub=192)
+    np.testing.assert_allclose(
+        float(metrics["metric_disparity_0/all_epe"]), float(expect["epe"]),
+        rtol=1e-5)
 
 
 def test_color_jitter_torchvision_semantics():
