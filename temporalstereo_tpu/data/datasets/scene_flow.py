@@ -11,7 +11,8 @@ import os
 import numpy as np
 
 from ...utils.registry import DATASET_REGISTRY
-from ..formats import load_pfm, load_pose_file
+from ..formats import (load_pfm, load_pose_file,
+                       load_sceneflow_camera_data)
 from .base import StereoDataset
 
 
@@ -39,23 +40,42 @@ class SceneFlowDataset(StereoDataset):
         return norm_K.copy(), full_K, self.full_resolution
 
     def disp_loader(self, path: str, full_K=None) -> np.ndarray:
+        """Reference semantics (read_sceneflow_pfm_disparity,
+        load_scene_flow.py:48-62): NaNs and out-of-range values (negative or
+        wider than the image) become 0 = invalid — NOT abs()."""
         disp, _ = load_pfm(os.path.join(self.root, path))
-        return np.abs(disp).astype(np.float32)
+        disp = np.nan_to_num(disp, nan=0.0)
+        w = disp.shape[1]
+        disp[disp > w] = 0
+        disp[disp < 0] = 0
+        return disp.astype(np.float32)
 
     def extrinsic_loader(self, path: str):
-        """camera_data.txt-style pose files; fall back to identity when the
-        file is a plain pose list."""
+        """SceneFlow ``camera_data.txt`` Frame blocks (world->cam stored
+        directly — reference read_sceneflow_extrinsic) or, as an extension,
+        a plain cam-to-world row-per-frame pose list; identity fallback."""
         full = os.path.join(self.root, path)
         try:
+            with open(full) as f:
+                first = f.readline().split()
+            if first and first[0] == "Frame":
+                return load_sceneflow_camera_data(full)
             return load_pose_file(full, invert=True)
         except (ValueError, OSError):
             return None
 
     def get_extrinsic(self, extrinsics, image_path: str) -> np.ndarray:
+        """Frame id parsed from the image filename digits (reference
+        getExtrinsic, scene_flow.py:64-80; missing frames -> identity)."""
         if extrinsics is None:
             return np.eye(4, dtype=np.float32)
         stem = os.path.splitext(os.path.basename(image_path))[0]
         digits = "".join(ch for ch in stem if ch.isdigit())
         idx = int(digits[-4:]) if digits else 0
+        if isinstance(extrinsics, dict):
+            entry = extrinsics.get(idx)
+            if entry is None or "l" not in entry:
+                return np.eye(4, dtype=np.float32)
+            return entry["l"][0]
         idx = min(idx, len(extrinsics) - 1)
         return extrinsics[idx]

@@ -215,6 +215,30 @@ def load_pose_file(path: str, invert: bool = True) -> np.ndarray:
     return poses.astype(np.float32)
 
 
+def load_sceneflow_camera_data(path: str) -> dict:
+    """SceneFlow ``camera_data.txt``: repeating blocks ``Frame N`` /
+    ``L <16 floats>`` / ``R <16 floats>`` [/ blank].  Matrices are stored
+    world->cam directly (reference read_sceneflow_extrinsic,
+    load_scene_flow.py:7-45).  Returns {frame_id: {side: (T, inv_T)}}."""
+    data: dict = {}
+    frame = None
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "Frame":
+                frame = int(parts[1])
+                data[frame] = {}
+            elif parts[0] in ("L", "R") and frame is not None:
+                T = np.array([float(v) for v in parts[1:]],
+                             np.float64).reshape(4, 4)
+                data[frame][parts[0].lower()] = (
+                    T.astype(np.float32),
+                    np.linalg.pinv(T).astype(np.float32))
+    return data
+
+
 def load_tartanair_pose_file(path: str) -> np.ndarray:
     """TartanAir GT pose file: one ``x y z qx qy qz qw`` row per frame (NED
     axes, cam-to-world); returns [N, 4, 4] world-to-cam in camera axes.

@@ -1,0 +1,135 @@
+"""Data-layer parity against the REAL reference dataset code
+(architecture/data/datasets/scene_flow + base.py through tests/refshim):
+the same on-disk SceneFlow-format tree (PNGs, PFM disparities,
+camera_data.txt Frame-block pose file, annfile JSON) is loaded by the
+reference's own ``SceneFlowStereoDataset.__getitem__`` (eval mode —
+deterministic) and by this framework's dataset, and every semantic
+quantity must agree: normalized+resized images, NATIVE-resolution gt
+disparities with the reference's invalid-fill rules, full-resolution
+intrinsics at the model size, per-frame world->cam poses, baseline.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+
+from tests import refshim  # noqa: E402
+
+if not refshim.reference_available():  # pragma: no cover
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+refshim.install()
+
+from architecture.data.datasets.scene_flow import (  # noqa: E402
+    SceneFlowStereoDataset as RefSceneFlow,
+)
+
+from temporalstereo_tpu.config.defaults import get_default_config  # noqa: E402
+from temporalstereo_tpu.data import build_stereo_dataset  # noqa: E402
+from temporalstereo_tpu.data.formats import write_pfm  # noqa: E402
+
+NH, NW = 64, 96         # native resolution (multiple of 32)
+# eval target ABOVE native: the reference eval path only upsizes
+# (base.py:141 asserts W <= width), the KITTI 375x1242 -> 384x1248 case
+TH, TW = 96, 160
+
+
+@pytest.fixture(scope="module")
+def sceneflow_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refshim_sf")
+    rng = np.random.RandomState(7)
+    n_frames = 3
+    pose_lines = []
+    item = {"extrinsic_path": "camera_data.txt"}
+    for i in range(n_frames):
+        img_l = (rng.rand(NH, NW, 3) * 255).astype(np.uint8)
+        img_r = (rng.rand(NH, NW, 3) * 255).astype(np.uint8)
+        # disparity with the reference's invalid cases: NaNs, negatives,
+        # out-of-range values
+        disp = (rng.rand(NH, NW) * 40.0).astype(np.float32)
+        disp[5:8, 5:8] = np.nan
+        disp[10:12, :4] = -3.0
+        disp[0, :3] = NW + 10.0
+        # purely numeric stems: the reference getExtrinsic parses
+        # int(basename) (scene_flow.py:66-68)
+        for sub in ("left", "right", "disp"):
+            os.makedirs(root / sub, exist_ok=True)
+        lp, rp, dp = f"left/{i:04d}.png", f"right/{i:04d}.png", \
+            f"disp/{i:04d}.pfm"
+        Image.fromarray(img_l).save(root / lp)
+        Image.fromarray(img_r).save(root / rp)
+        write_pfm(str(root / dp), disp)
+        item[str(i - (n_frames - 1))] = {
+            "left_image_path": lp, "right_image_path": rp,
+            "left_disp_path": dp,
+        }
+        # camera_data.txt Frame block (read_sceneflow_extrinsic,
+        # load_scene_flow.py:7-45): "Frame N" / "L <16>" / "R <16>" / blank;
+        # matrices are world->cam directly (T_cam as stored)
+        T = np.eye(4)
+        T[0, 3] = -0.07 * i
+        T[2, 3] = 0.02 * i
+        TR = T.copy()
+        TR[0, 3] -= 1.0  # right camera offset
+        pose_lines.append(f"Frame {i}")
+        pose_lines.append("L " + " ".join(f"{v:.9f}" for v in T.reshape(-1)))
+        pose_lines.append("R " + " ".join(f"{v:.9f}"
+                                          for v in TR.reshape(-1)))
+        pose_lines.append("")
+    (root / "camera_data.txt").write_text("\n".join(pose_lines) + "\n")
+    (root / "ann.json").write_text(json.dumps([item]))
+    return str(root)
+
+
+def _repo_dataset(root, frame_idxs):
+    node = get_default_config().DATA.VAL
+    node.defrost() if hasattr(node, "defrost") else None
+    node["TYPE"] = "SceneFlow"
+    node["DATA_ROOT"] = root
+    node["ANNFILE"] = os.path.join(root, "ann.json")
+    node["HEIGHT"] = TH
+    node["WIDTH"] = TW
+    node["FRAME_IDXS"] = list(frame_idxs)
+    return build_stereo_dataset(node, "val")
+
+
+def test_eval_getitem_matches_real_reference_dataset(sceneflow_tree):
+    frame_idxs = [-2, -1, 0]
+    ref = RefSceneFlow(
+        annFile=os.path.join(sceneflow_tree, "ann.json"),
+        root=sceneflow_tree, height=TH, width=TW,
+        frame_idxs=list(frame_idxs), is_train=False)
+    rs = ref[0]
+
+    ds = _repo_dataset(sceneflow_tree, frame_idxs)
+    s = ds[0]
+
+    # SceneFlow full_resolution is hardcoded 540x960 in both stacks; the
+    # comparison uses the tree's own resolution for the gt maps.
+    for i, t in enumerate(frame_idxs):
+        # normalized + align-corners-resized images
+        for side, key in (("l", "left"), ("r", "right")):
+            want = rs[("color_aug", t, side)].numpy().transpose(1, 2, 0)
+            got = s[key][i]
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+        # native-resolution gt with the reference invalid-fill rules
+        want_disp = rs[("disp_gt", t, "l")].numpy()[0]
+        got_disp = s["disp_gt"][i, :, :, 0]
+        np.testing.assert_allclose(got_disp, want_disp, atol=1e-5)
+        assert (got_disp[5:8, 5:8] == 0).all()      # NaN fill
+        assert (got_disp[10:12, :4] == 0).all()     # negative fill
+        # per-frame world->cam poses
+        np.testing.assert_allclose(s["T_cam"][i],
+                                   rs[("T", t, "l")].numpy(), atol=1e-6)
+        np.testing.assert_allclose(s["inv_T"][i],
+                                   rs[("inv_T", t, "l")].numpy(), atol=1e-5)
+
+    # full-resolution intrinsics at the model size == reference ('K', 0)
+    np.testing.assert_allclose(s["K"], rs[("K", 0)].numpy()[:3, :3],
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s["baseline"]),
+                               float(rs["baseline"].reshape(-1)[0]))
