@@ -97,6 +97,92 @@ def _repo_dataset(root, frame_idxs):
     return build_stereo_dataset(node, "val")
 
 
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    """KITTI-2015-multiview-style tree: uint16/256 disparity PNGs, a raw
+    calib_cam_to_cam-style text file (P_rect_02 / S_rect_02), an ORB-SLAM3
+    pose file (12-float cam-to-world rows), names <scene>_<frame>.png."""
+    from temporalstereo_tpu.data.formats import write_kitti_disp
+
+    root = tmp_path_factory.mktemp("refshim_kitti")
+    rng = np.random.RandomState(11)
+    os.makedirs(root / "image_2")
+    os.makedirs(root / "image_3")
+    os.makedirs(root / "disp_occ_0")
+    pose_rows = []
+    item = {"extrinsic_path": "poses.txt", "intrinsic_path": "calib.txt"}
+    frames = [9, 10, 11]
+    for i, fr in enumerate(frames):
+        img_l = (rng.rand(NH, NW, 3) * 255).astype(np.uint8)
+        img_r = (rng.rand(NH, NW, 3) * 255).astype(np.uint8)
+        disp = (rng.rand(NH, NW) * 40.0).astype(np.float32)
+        disp[rng.rand(NH, NW) < 0.6] = 0.0  # sparse gt
+        lp = f"image_2/000000_{fr:02d}.png"
+        rp = f"image_3/000000_{fr:02d}.png"
+        dp = f"disp_occ_0/000000_{fr:02d}.png"
+        Image.fromarray(img_l).save(root / lp)
+        Image.fromarray(img_r).save(root / rp)
+        write_kitti_disp(str(root / dp), disp)
+        item[str(i - (len(frames) - 1))] = {
+            "left_image_path": lp, "right_image_path": rp,
+            "left_disp_path": dp,
+        }
+    # cam-to-world rows indexed by frame id (read_kitti_extrinsic inverts)
+    for fr in range(max(frames) + 1):
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.04 * fr
+        c2w[2, 3] = -0.3 * fr
+        pose_rows.append(" ".join(f"{v:.9f}"
+                                  for v in c2w[:3, :].reshape(-1)))
+    (root / "poses.txt").write_text("\n".join(pose_rows) + "\n")
+    fx, fy, cx, cy = 70.0, 72.0, NW / 2, NH / 2
+    (root / "calib.txt").write_text(
+        f"P_rect_02: {fx:.6e} 0.000000e+00 {cx:.6e} 0.000000e+00 "
+        f"0.000000e+00 {fy:.6e} {cy:.6e} 0.000000e+00 "
+        f"0.000000e+00 0.000000e+00 1.000000e+00 0.000000e+00\n"
+        f"S_rect_02: {float(NW):.6e} {float(NH):.6e}\n")
+    (root / "ann.json").write_text(json.dumps([item]))
+    return str(root)
+
+
+def test_kitti_eval_getitem_matches_real_reference_dataset(kitti_tree):
+    from architecture.data.datasets.kitti.kitti2015 import (
+        KITTI2015StereoDataset as RefKitti,
+    )
+
+    frame_idxs = [-2, -1, 0]
+    ref = RefKitti(
+        annFile=os.path.join(kitti_tree, "ann.json"), root=kitti_tree,
+        height=TH, width=TW, frame_idxs=list(frame_idxs), is_train=False)
+    rs = ref[0]
+
+    node = get_default_config().DATA.VAL
+    node["TYPE"] = "KITTI2015"
+    node["DATA_ROOT"] = kitti_tree
+    node["ANNFILE"] = os.path.join(kitti_tree, "ann.json")
+    node["HEIGHT"] = TH
+    node["WIDTH"] = TW
+    node["FRAME_IDXS"] = list(frame_idxs)
+    s = build_stereo_dataset(node, "val")[0]
+
+    for i, t in enumerate(frame_idxs):
+        for side, key in (("l", "left"), ("r", "right")):
+            want = rs[("color_aug", t, side)].numpy().transpose(1, 2, 0)
+            np.testing.assert_allclose(s[key][i], want, rtol=1e-4,
+                                       atol=2e-4)
+        want_disp = rs[("disp_gt", t, "l")].numpy()[0]
+        np.testing.assert_allclose(s["disp_gt"][i, :, :, 0], want_disp,
+                                   atol=1e-5)
+        np.testing.assert_allclose(s["T_cam"][i],
+                                   rs[("T", t, "l")].numpy(), atol=1e-5)
+        np.testing.assert_allclose(s["inv_T"][i],
+                                   rs[("inv_T", t, "l")].numpy(), atol=1e-5)
+
+    np.testing.assert_allclose(s["K"], rs[("K", 0)].numpy()[:3, :3],
+                               rtol=1e-5)
+    assert abs(float(s["baseline"]) - 0.54) < 1e-6
+
+
 def test_eval_getitem_matches_real_reference_dataset(sceneflow_tree):
     frame_idxs = [-2, -1, 0]
     ref = RefSceneFlow(
