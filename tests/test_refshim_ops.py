@@ -287,6 +287,37 @@ def test_tartanair_pose_relative_transform_matches_reference(rng, tmp_path):
         np.testing.assert_allclose(rel_ours, rel_ref, rtol=1e-5, atol=1e-6)
 
 
+def test_do_occlusion_evaluation_matches_reference(rng):
+    """Occ/noc split via LR-consistency warp of the right gt (reference
+    eval.py:45-106) against the repo's jnp implementation."""
+    from architecture.data.evaluation import (
+        do_occlusion_evaluation as ref_occ,
+    )
+
+    from temporalstereo_tpu.data.evaluation.pixel_error import (
+        do_occlusion_evaluation,
+    )
+
+    b, h, w = 1, 20, 30
+    gt_l = (rng.rand(b, 1, h, w).astype(np.float32) * 40.0)
+    gt_l[gt_l < 8] = 0.0
+    gt_r = (rng.rand(b, 1, h, w).astype(np.float32) * 40.0)
+    gt_r[gt_r < 8] = 0.0
+    est = (rng.rand(b, 1, h, w).astype(np.float32) * 40.0)
+
+    ref = ref_occ(torch.from_numpy(est), torch.from_numpy(gt_l),
+                  torch.from_numpy(gt_r), lb=0.0, ub=64.0)
+    got = do_occlusion_evaluation(
+        jnp.asarray(est.transpose(0, 2, 3, 1)),
+        jnp.asarray(gt_l.transpose(0, 2, 3, 1)),
+        jnp.asarray(gt_r.transpose(0, 2, 3, 1)), lb=0.0, ub=64.0)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            float(got[k]), float(np.asarray(ref[k]).reshape(-1)[0]),
+            rtol=1e-4, atol=1e-4, err_msg=k)
+
+
 def test_calc_error_matches_reference(rng):
     est = (rng.rand(1, 1, 20, 30).astype(np.float32) * 70.0)
     gt = (rng.rand(1, 1, 20, 30).astype(np.float32) * 70.0)
