@@ -197,6 +197,102 @@ def test_argmin_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), t)
 
 
+# ------------------------------------------------------ conv gru / drnet
+def _conv2d_w(wt):  # [O, I, kh, kw] -> (kh, kw, I, O)
+    return jnp.asarray(wt.transpose(2, 3, 1, 0))
+
+
+def test_conv_gru_matches_reference(rng):
+    from architecture.modeling.layers import ConvGRU as RefConvGRU
+
+    from temporalstereo_tpu.nn.layers import ConvGRU
+
+    torch.manual_seed(5)
+    f, hid, h, w = 6, 8, 10, 12
+    ref = RefConvGRU(in_planes=f, hidden_planes=hid).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    model = ConvGRU(hidden=hid)
+    hx = rng.randn(1, h, w, hid).astype(np.float32)
+    xx = rng.randn(1, h, w, f).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(hx),
+                           jnp.asarray(xx))
+    p = jax.tree.map(lambda v: v, variables["params"])
+    for gate in ("convz", "convr", "convq"):
+        p[gate]["Conv_0"]["kernel"] = _conv2d_w(sd[f"{gate}.weight"])
+        p[gate]["Conv_0"]["bias"] = jnp.asarray(sd[f"{gate}.bias"])
+
+    got = np.asarray(model.apply({"params": p}, jnp.asarray(hx),
+                                 jnp.asarray(xx)))
+    with torch.no_grad():
+        t = ref(torch.from_numpy(hx.transpose(0, 3, 1, 2)).contiguous(),
+                torch.from_numpy(xx.transpose(0, 3, 1, 2)).contiguous())
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stereodrnet_refinement_matches_reference(rng):
+    from architecture.modeling.aggregation.TemporalStereo.module import (
+        StereoDRNetRefinement as RefDRNet,
+    )
+
+    from temporalstereo_tpu.nn.blocks import StereoDRNetRefinement
+
+    torch.manual_seed(6)
+    ref = RefDRNet().eval()
+    g = torch.Generator().manual_seed(7)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(
+                    m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(
+                    m.running_var.shape, generator=g) * 0.5 + 0.75)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    model = StereoDRNetRefinement()
+    h, w = 24, 32
+    disp = (rng.rand(1, h, w, 1).astype(np.float32) * 6.0)
+    left = rng.rand(1, h, w, 3).astype(np.float32)
+    right = rng.rand(1, h, w, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(disp),
+                           jnp.asarray(left), jnp.asarray(right), False)
+    p = jax.tree.map(lambda v: v, variables["params"])
+    s = jax.tree.map(lambda v: v, variables["batch_stats"])
+
+    def put(conv_tree, stat_tree, prefix, has_norm=True, has_bias=False):
+        conv_tree["Conv_0"]["kernel"] = _conv2d_w(sd[f"{prefix}.weight"])
+        if has_bias:
+            conv_tree["Conv_0"]["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        if has_norm:
+            bnp = conv_tree["Norm_0"]["BatchNorm_0"]
+            bns = stat_tree["Norm_0"]["BatchNorm_0"]
+            bnp["scale"] = jnp.asarray(sd[f"{prefix}.norm.weight"])
+            bnp["bias"] = jnp.asarray(sd[f"{prefix}.norm.bias"])
+            bns["mean"] = jnp.asarray(sd[f"{prefix}.norm.running_mean"])
+            bns["var"] = jnp.asarray(sd[f"{prefix}.norm.running_var"])
+
+    put(p["Conv2d_0"], s["Conv2d_0"], "feat_conv")
+    put(p["Conv2d_1"], s["Conv2d_1"], "disp_conv")
+    for i in range(6):
+        put(p[f"BasicBlock_{i}"]["Conv2d_0"],
+            s[f"BasicBlock_{i}"]["Conv2d_0"], f"dilated_block.{i}.conv1")
+        put(p[f"BasicBlock_{i}"]["Conv2d_1"],
+            s[f"BasicBlock_{i}"]["Conv2d_1"], f"dilated_block.{i}.conv2")
+    put(p["Conv2d_2"], s.get("Conv2d_2", {}), "final_conv", has_norm=False,
+        has_bias=True)
+
+    got = np.asarray(model.apply(
+        {"params": p, "batch_stats": s}, jnp.asarray(disp),
+        jnp.asarray(left), jnp.asarray(right), False))
+    with torch.no_grad():
+        t = ref(torch.from_numpy(disp.transpose(0, 3, 1, 2)).contiguous(),
+                torch.from_numpy(left.transpose(0, 3, 1, 2)).contiguous(),
+                torch.from_numpy(right.transpose(0, 3, 1, 2)).contiguous())
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), t.numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+
 # ------------------------------------------------------------- flow metrics
 def test_flow_calc_error_matches_reference(rng):
     b, h, w = 1, 12, 16
