@@ -170,6 +170,18 @@ def load_flo(path: str) -> np.ndarray:
     return data.reshape(h, w, 2)
 
 
+def write_flo(path: str, flow: np.ndarray) -> None:
+    """Middlebury .flo writer (reference write_flo, load_flow.py:107-136):
+    f32 magic 202021.25, int32 width/height, interleaved u/v rows."""
+    assert flow.ndim == 3 and flow.shape[2] == 2, flow.shape
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        np.array([202021.25], np.float32).tofile(f)
+        np.array(w, np.int32).tofile(f)
+        np.array(h, np.int32).tofile(f)
+        flow.astype(np.float32).reshape(h, w * 2).tofile(f)
+
+
 def load_kitti_flow(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """KITTI png flow: (value-2^15)/64, third channel = valid mask."""
     from .native import available, decode_png

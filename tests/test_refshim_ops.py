@@ -328,3 +328,25 @@ def test_calc_error_matches_reference(rng):
     for k in ("1px", "2px", "3px", "5px", "epe"):
         np.testing.assert_allclose(float(got[k]), float(ref_out[k][0]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_flo_round_trip_with_reference(rng, tmp_path):
+    """.flo format interop: files written here load through the reference's
+    own reader and vice versa (load_flow.py:74-136)."""
+    from architecture.data.utils.load_flow import (
+        load_flying_chairs_flow,
+        write_flo as ref_write_flo,
+    )
+
+    from temporalstereo_tpu.data.formats import load_flo, write_flo
+
+    flow = (rng.rand(12, 17, 2).astype(np.float32) * 8.0 - 4.0)
+    ours = tmp_path / "ours.flo"
+    theirs = tmp_path / "theirs.flo"
+    write_flo(str(ours), flow)
+    ref_write_flo(str(theirs), flow)
+
+    np.testing.assert_allclose(load_flying_chairs_flow(str(ours)), flow,
+                               atol=1e-6)
+    np.testing.assert_allclose(load_flo(str(theirs)), flow, atol=1e-6)
+    assert ours.read_bytes() == theirs.read_bytes()
