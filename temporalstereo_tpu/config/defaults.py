@@ -38,6 +38,9 @@ def get_default_config() -> CN:
         node.FRAME_IDXS = [0]
         node.BATCH_SIZE = bs
         node.NUM_WORKERS = 4
+        # fork-based process workers (torch DataLoader worker model): decode/
+        # augment/collate escape the GIL; False falls back to the thread pool
+        node.PROCESS_WORKERS = True
         _C.DATA[phase] = node
 
     # ----------------------------------------------------------- CHECKPOINT
@@ -81,6 +84,9 @@ def get_default_config() -> CN:
     _C.TPU.USE_PALLAS = False
     _C.TPU.REMAT = False        # jax.checkpoint the per-frame forward
     _C.TPU.DONATE = True        # donate train-state buffers to the step fn
+    # batches enqueued to the device ahead of the running step (async H2D
+    # double-buffering, parallel/mesh.py:prefetch_to_device); 0 disables
+    _C.TPU.HOST_PREFETCH = 2
 
     # ------------------------------------------------------------ OPTIMIZER
     _C.OPTIMIZER = CN()

@@ -53,4 +53,5 @@ def build_dataloader(node: ConfigNode, phase: str, num_shards: int = 1,
         num_workers=node.get("NUM_WORKERS", 4),
         num_shards=num_shards,
         shard_index=shard_index,
+        use_processes=node.get("PROCESS_WORKERS", True),
     )

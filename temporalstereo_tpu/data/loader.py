@@ -1,19 +1,62 @@
 """Batching data loader with background prefetch + multi-host sharding.
 
 TPU-native replacement for the reference's torch DataLoader usage
-(projects/TemporalStereo/TemporalStereo.py:49-70): a thread-pool loader
-producing time-major numpy batches; under multi-host each process loads only
-its shard (deterministic host slicing, SURVEY §7 hard-part 6).  The native
-C++ decode path (native/) plugs into StereoDataset transparently when built.
+(projects/TemporalStereo/TemporalStereo.py:49-70).  Two worker models:
+
+  * ``use_processes=True`` (training default): a persistent fork-based
+    process pool; each worker assembles ONE whole batch (decode + augment +
+    collate) and ships it back — the torch num_workers model, which sidesteps
+    the GIL that bound the round-3 thread loader to ~1 core.  Workers are
+    forked, so they inherit the parent's state WITHOUT re-running
+    sitecustomize (they never touch the TPU or jax).
+  * ``use_processes=False``: the thread-pool path (cheap for tests / small
+    in-memory datasets).
+
+Under multi-host each process loads only its shard (deterministic host
+slicing, SURVEY §7 hard-part 6); uneven shards are wrap-padded in lockstep
+with a ``pad_mask`` marking the duplicates so evaluation can de-duplicate
+epoch metrics (torch DistributedSampler counts them — a flaw we fix).
+The native C++ decode path (native/) plugs into StereoDataset transparently
+when built.
 """
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+# set in pool workers by fork inheritance (_pool_init runs post-fork, so the
+# dataset object is shared copy-on-write, never pickled)
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    # decode workers must not spawn their own BLAS thread pools
+    os.environ["OMP_NUM_THREADS"] = "1"
+
+
+def _pool_batch(args):
+    """Assemble one batch fully inside the worker (decode+augment+collate):
+    the main process only unpickles (a memcpy), never runs Python decode.
+    Augmentation randomness is seeded PER BATCH, so epochs are reproducible
+    regardless of which worker picks up which batch (stronger than torch's
+    per-worker seeding)."""
+    idxs, pads, aug_seed = args
+    np.random.seed(aug_seed & 0x7FFFFFFF)
+    if hasattr(_WORKER_DATASET, "rng"):  # StereoDataset augmentation RNG
+        _WORKER_DATASET.rng = np.random.RandomState(aug_seed & 0x7FFFFFFF)
+    samples = [_WORKER_DATASET[int(i)] for i in idxs]
+    out = collate(samples)
+    out["pad_mask"] = (~np.asarray(pads)).astype(np.float32)
+    return out
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -36,7 +79,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, num_workers: int = 4,
                  seed: int = 43, num_shards: int = 1, shard_index: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_processes: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,7 +89,12 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        if use_processes is None:
+            use_processes = False
+        self.use_processes = bool(use_processes and
+                                  "fork" in mp.get_all_start_methods())
         self.epoch = 0
+        self._pool = None
 
     def __len__(self) -> int:
         n = -(-len(self.dataset) // self.num_shards)  # padded shard size
@@ -54,7 +102,10 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self) -> "tuple[np.ndarray, np.ndarray]":
+        """Returns (indices, is_pad): is_pad marks wrap-padded duplicates so
+        evaluation can mask them out of epoch means (torch DistributedSampler
+        pads identically but COUNTS the duplicates — a flaw we fix)."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
@@ -62,6 +113,7 @@ class DataLoader:
         # deterministic per-host shard: strided slice so every host sees a
         # disjoint subset of samples (windows stay intact)
         idx = idx[self.shard_index::self.num_shards]
+        is_pad = np.zeros(len(idx), dtype=bool)
         if self.num_shards > 1:
             # pad by wrapping so every host runs the SAME number of batches —
             # a one-batch difference would desync the SPMD collectives and
@@ -70,29 +122,89 @@ class DataLoader:
             if len(idx) < target and len(idx) > 0:
                 pad = np.resize(idx, target - len(idx))
                 idx = np.concatenate([idx, pad])
+                is_pad = np.concatenate(
+                    [is_pad, np.ones(len(pad), dtype=bool)])
         if self.drop_last:
-            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
-        return idx
+            keep = (len(idx) // self.batch_size) * self.batch_size
+            idx, is_pad = idx[:keep], is_pad[:keep]
+        return idx, is_pad
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        indices = self._epoch_indices()
+    def _batches(self):
+        indices, is_pad = self._epoch_indices()
         self.epoch += 1
-        batches = [indices[i:i + self.batch_size]
+        batches = [(indices[i:i + self.batch_size],
+                    is_pad[i:i + self.batch_size])
                    for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+            batches = [b for b in batches if len(b[0]) == self.batch_size]
+        return batches
 
+    # ------------------------------------------------------------ processes
+    def _ensure_pool(self):
+        if self._pool is None:
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers, initializer=_pool_init,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - interpreter teardown best effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_processes(self) -> Iterator[Dict[str, np.ndarray]]:
+        pool = self._ensure_pool()
+        batches = iter(self._batches())
+        pending: deque = deque()
+
+        epoch_seed = self.seed + 100003 * self.epoch
+        n_submitted = [0]
+
+        def submit() -> bool:
+            try:
+                bi, bp = next(batches)
+            except StopIteration:
+                return False
+            aug_seed = epoch_seed * 131071 + n_submitted[0]
+            n_submitted[0] += 1
+            pending.append(pool.apply_async(_pool_batch,
+                                            ((bi, bp, aug_seed),)))
+            return True
+
+        # keep every worker busy plus `prefetch` finished batches in flight
+        for _ in range(self.num_workers + self.prefetch):
+            if not submit():
+                break
+        while pending:
+            out = pending.popleft().get()
+            submit()
+            yield out
+
+    # -------------------------------------------------------------- threads
+    def _iter_threads(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
+                for batch_idx, batch_pad in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__,
                                             batch_idx))
-                    q.put(collate(samples))
+                    out = collate(samples)
+                    # 1.0 = real sample, 0.0 = wrap-padded duplicate; eval
+                    # masks pads out of epoch means (training ignores it)
+                    out["pad_mask"] = (~batch_pad).astype(np.float32)
+                    q.put(out)
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -105,3 +217,8 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.use_processes:
+            return self._iter_processes()
+        return self._iter_threads()

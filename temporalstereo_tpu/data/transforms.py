@@ -37,17 +37,18 @@ def _rgb_to_hsv(rgb: np.ndarray):
 
 
 def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
-    i = np.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(int) % 6
-    choices = [np.stack(c, axis=-1) for c in
-               ((v, t, p), (q, v, p), (p, v, t),
-                (p, q, v), (t, p, v), (v, p, q))]
-    out = np.select([(i == k)[..., None] for k in range(6)], choices)
-    return out.astype(np.float32)
+    """Branchless HSV->RGB: per channel c with offset n in (5, 3, 1),
+    rgb_c = v * (1 - s * clip(min(k, 4-k), 0, 1)) with k = (n + 6h) mod 6 —
+    the exact piecewise formula without np.select's 6 stacked candidate
+    arrays (which dominated the round-3 aug profile)."""
+    h6 = (h % 1.0) * 6.0
+    out = np.empty(h.shape + (3,), np.float32)
+    for c, n in enumerate((5.0, 3.0, 1.0)):
+        k = (n + h6) % 6.0
+        t = np.minimum(k, 4.0 - k, out=k)
+        np.clip(t, 0.0, 1.0, out=t)
+        out[..., c] = v * (1.0 - s * t)
+    return out
 
 
 def _blend(img1: np.ndarray, img2: np.ndarray, ratio: float) -> np.ndarray:
@@ -98,7 +99,11 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState,
 
 def normalize(img: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD
               ) -> np.ndarray:
-    return ((img - mean) / std).astype(np.float32)
+    # same op sequence as torchvision F.normalize (sub then div => identical
+    # rounding), but with one allocated temporary instead of three
+    out = np.subtract(img, np.asarray(mean, np.float32), dtype=np.float32)
+    np.divide(out, np.asarray(std, np.float32), out=out)
+    return out
 
 
 def denormalize(img: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD

@@ -4,6 +4,7 @@ from .mesh import (
     make_mesh,
     make_sharded_eval_step,
     make_sharded_train_step,
+    prefetch_to_device,
     replicate,
     shard_batch,
     shard_batch_multihost,

@@ -16,6 +16,7 @@ TPU-native replacement for the reference's distributed stack (SURVEY §2.10,
 """
 from __future__ import annotations
 
+from collections import deque
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -82,6 +83,40 @@ def shard_batch_multihost(mesh: Mesh, local_batch: Dict[str, np.ndarray]
 
 def _batch_shardings(mesh: Mesh, batch_tree) -> Any:
     return {k: batch_sharding(mesh, k) for k in batch_tree}
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
+                       multihost: bool = False):
+    """Double-buffered async host->device transfer: keep ``size`` batches
+    already placed on the mesh while the current step runs, so the H2D DMA
+    overlaps compute instead of sitting on the critical path (the round-3
+    ``Trainer._shard``-in-loop did a synchronous placement per step).
+
+    ``jax.device_put`` only ENQUEUES the transfer (JAX dispatch is async),
+    so issuing it a batch ahead is all the double-buffering TPUs need.
+
+    Yields (device_batch, host_batch) — the host batch stays available for
+    image logging / bookkeeping without a device round-trip.
+    """
+    put = shard_batch_multihost if multihost else shard_batch
+    buf = deque()
+    it = iter(iterator)
+
+    def enqueue() -> bool:
+        try:
+            host = next(it)
+        except StopIteration:
+            return False
+        buf.append((put(mesh, host), host))
+        return True
+
+    for _ in range(max(1, size)):
+        if not enqueue():
+            break
+    while buf:
+        item = buf.popleft()
+        enqueue()
+        yield item
 
 
 def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True):

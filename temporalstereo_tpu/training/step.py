@@ -118,7 +118,24 @@ def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
                                             train=False)
         gt = batch["disp_gt"][-1]
         gt_right = batch.get("disp_gt_right")
-        metrics = {}
+        # Per-SAMPLE metrics, averaged over real (non-wrap-padded) samples:
+        # epoch means then become exact and invariant to host count / batch
+        # regrouping (multi-host shard padding, data/loader.py).  'weight' is
+        # the GLOBAL countable-sample count (batch arrays are global inside
+        # jit) — the trainer's epoch weighting term.
+        pad_mask = batch.get("pad_mask")
+        pm = (pad_mask.astype(gt.dtype) if pad_mask is not None
+              else jnp.ones((gt.shape[0],), gt.dtype))
+        # samples with zero valid gt pixels carry no information — exclude
+        # them from the sample mean like the pixel-pooled protocol would
+        valid_px = jnp.sum((gt > lb) & (gt < ub), axis=(1, 2, 3))
+        sw = pm * (valid_px > 0).astype(gt.dtype)
+        total_w = jnp.maximum(jnp.sum(sw), 1.0)
+
+        def sample_mean(per_sample: jnp.ndarray) -> jnp.ndarray:
+            return jnp.sum(per_sample * sw) / total_w
+
+        metrics = {"weight": jnp.sum(sw)}
         # evaluate at the GT's NATIVE resolution: predictions are resized
         # with width-ratio value scaling (reference validation_step :183)
         gh, gw = gt.shape[1:3]
@@ -128,16 +145,19 @@ def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
         for i in eval_ids:
             if i >= len(disps):
                 continue
-            err = calc_error(disps[i], gt, lb=lb, ub=ub)
+            err = jax.vmap(lambda e, g: calc_error(e, g, lb=lb, ub=ub)
+                           )(disps[i], gt)
             for k, v in err.items():
-                metrics[f"metric_disparity_{i}/all_{k}"] = v
+                metrics[f"metric_disparity_{i}/all_{k}"] = sample_mean(v)
             if do_occ and gt_right is not None:
                 # occ/noc split via LR-consistency (reference
                 # TemporalStereo.py:477-484 -> eval.py:45-106)
-                occ = do_occlusion_evaluation(disps[i], gt, gt_right[-1],
-                                              lb, ub)
+                occ = jax.vmap(
+                    lambda e, g, gr: do_occlusion_evaluation(
+                        e[None], g[None], gr[None], lb, ub)
+                )(disps[i], gt, gt_right[-1])
                 for k, v in occ.items():
-                    metrics[f"metric_disparity_{i}/{k}"] = v
+                    metrics[f"metric_disparity_{i}/{k}"] = sample_mean(v)
         return metrics
 
     return eval_step

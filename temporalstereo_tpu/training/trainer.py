@@ -30,6 +30,7 @@ from ..parallel import (
     make_mesh,
     make_sharded_eval_step,
     make_sharded_train_step,
+    prefetch_to_device,
     shard_batch,
     shard_batch_multihost,
 )
@@ -234,10 +235,10 @@ class Trainer:
             _, _, updates = _bn_update_apply(self.model, params, stats, batch)
             return updates
 
-        for i, batch in enumerate(self.train_loader):
+        for i, (sharded, _) in enumerate(self._prefetch(self.train_loader)):
             if i >= max_batches:
                 break
-            stats = bn_pass(self.state.params, stats, self._shard(batch))
+            stats = bn_pass(self.state.params, stats, sharded)
         self.state = self.state.replace(batch_stats=stats)
         self.writer.stdout(
             f"SWA: swapped in averaged weights "
@@ -254,13 +255,22 @@ class Trainer:
             return shard_batch_multihost(self.mesh, batch)
         return shard_batch(self.mesh, batch)
 
+    def _prefetch(self, loader):
+        """Iterate (device_batch, host_batch) with async H2D double-buffering
+        so the transfer overlaps the running step (TPU.HOST_PREFETCH)."""
+        size = self.cfg.TPU.get("HOST_PREFETCH", 2)
+        if size <= 0:
+            return ((self._shard(b), b) for b in loader)
+        return prefetch_to_device(loader, self.mesh, size=size,
+                                  multihost=jax.process_count() > 1)
+
     def _train_epoch(self, epoch: int, fast_dev: bool = False) -> None:
         cfg = self.cfg
         every_n_steps = max(cfg.CHECKPOINT.get("EVERY_N_TRAIN_STEPS", 0), 0)
         vis_every = max(cfg.TRAINER.get("VIS_EVERY_N_TRAIN_STEPS", 2000), 0)
-        for batch_idx, batch in enumerate(self.train_loader):
+        for batch_idx, (sharded, batch) in enumerate(
+                self._prefetch(self.train_loader)):
             t0 = time.time()
-            sharded = self._shard(batch)
             self.state, metrics = self.train_step(self.state, sharded)
             step = int(self.state.step)
 
@@ -303,18 +313,21 @@ class Trainer:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         # Weighted epoch means: per-batch metrics are global means over the
-        # sharded batch (XLA reduces across all devices/hosts inside jit), so
-        # weighting by the global batch size makes the epoch table exact even
-        # with a partial final batch (drop_last=False on val/test).
+        # sharded batch (XLA reduces across all devices/hosts inside jit).
+        # The weight is the eval step's global REAL-sample count — wrap-padded
+        # duplicates (multi-host shard padding) are masked out of both the
+        # per-batch means and the epoch weighting, so epoch tables are exact
+        # regardless of host count (torch DistributedSampler counts the
+        # duplicates; that is the bug, not the bar).
         sums = defaultdict(float)
         total_weight = 0.0
         vis_interval = max(self.cfg.VAL.get("VIS_INTERVAL", 8), 1)
         vis_batch = epoch % max(len(loader) // vis_interval, 1)
-        for batch_idx, batch in enumerate(loader):
-            weight = batch["left"].shape[1] * jax.process_count()
-            sharded = self._shard(batch)
+        for batch_idx, (sharded, batch) in enumerate(self._prefetch(loader)):
             metrics = self.eval_step(variables, sharded)
             metrics = jax.device_get(metrics)
+            weight = float(metrics.pop(
+                "weight", batch["left"].shape[1] * jax.process_count()))
             for k, v in metrics.items():
                 sums[k] += float(v) * weight
             total_weight += weight
