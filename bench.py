@@ -18,6 +18,7 @@ reports ~24 fps end-to-end on KITTI-size frames on an RTX-class GPU;
 vs_baseline = temporal fps / 24.0.
 """
 import json
+import os
 import sys
 import time
 
@@ -97,6 +98,19 @@ def main():
         lambda r: model.init({"params": r}, left, right, None, False))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
+
+    if os.environ.get("TS_FOLD_BN", "") not in ("", "0"):
+        # fold eval-mode BN into conv weights (utils/fold_bn): each BN
+        # becomes a single add — the op-count/DMA experiment of VERDICT r4.
+        # Must run BEFORE any jit of the forward (jaxpr/jit caches would
+        # otherwise pin the unfolded graph).
+        from temporalstereo_tpu.nn.layers import set_folded_bn_paths
+        from temporalstereo_tpu.utils.fold_bn import fold_batch_norms
+
+        variables, fold_paths = fold_batch_norms(variables)
+        set_folded_bn_paths(fold_paths)
+        print(f"bench: folded {len(fold_paths)} BNs into conv weights",
+              file=sys.stderr, flush=True)
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
     prev = init_prev_info(model, b, (h, w), mem_shapes,

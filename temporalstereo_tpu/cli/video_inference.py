@@ -36,6 +36,18 @@ def main() -> None:
                         "or TartanAir GT quaternions (reference "
                         "video_inference.py:63-98 use_gt dispatch); auto "
                         "sniffs the row width")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold eval-mode BatchNorms into conv weights "
+                        "(utils/fold_bn) before compiling — fewer ops / "
+                        "weight prefetches per frame")
+    p.add_argument("--export-bundle", default="",
+                   help="AOT-compile all streaming stage graphs and write a "
+                        "serving bundle (serving.py) before running; a fresh "
+                        "host then --load-bundle's it with zero compile")
+    p.add_argument("--load-bundle", default="",
+                   help="run from an AOT serving bundle written by "
+                        "--export-bundle (same platform/shape) — skips the "
+                        "minutes-long cold compile entirely")
     p.add_argument("--no-exact-growth", action="store_true",
                    help="skip the reference's 1->LOCAL_MAP_SIZE local-map "
                         "growth frames (TemporalStereo.py:367-372) and start "
@@ -97,6 +109,14 @@ def main() -> None:
                 f"error: checkpoint not found: {args.checkpoint}")
         variables, n = load_any_weights(variables, args.checkpoint)
         print(f"loaded {n} tensors from {args.checkpoint}")
+    if args.fold_bn:
+        # fold BEFORE any jit: the traced graphs must see the fast path
+        from ..nn.layers import set_folded_bn_paths
+        from ..utils.fold_bn import fold_batch_norms
+
+        variables, fold_paths = fold_batch_norms(variables)
+        set_folded_bn_paths(fold_paths)
+        print(f"folded {len(fold_paths)} BNs into conv weights")
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
     topk = model.precise_cfg.get("topk", 2)
@@ -109,6 +129,23 @@ def main() -> None:
             if model.with_previous else None)
 
     from functools import partial
+
+    bundle = None
+    if args.load_bundle:
+        from ..serving import load_streaming_bundle
+
+        bundle = load_streaming_bundle(args.load_bundle, model, variables)
+        assert (bundle.meta["h"], bundle.meta["w"]) == (h, w), (
+            f"bundle compiled for {bundle.meta['h']}x{bundle.meta['w']}, "
+            f"requested {h}x{w}")
+        print(f"loaded AOT bundle: {len(bundle.meta['stages'])} stage "
+              f"graphs, zero compile ({args.load_bundle})")
+    elif args.export_bundle:
+        from ..serving import export_streaming_bundle, load_streaming_bundle
+
+        export_streaming_bundle(model, variables, args.export_bundle,
+                                b=1, h=h, w=w, fold_bn=args.fold_bn)
+        bundle = load_streaming_bundle(args.export_bundle, model, variables)
 
     @partial(jax.jit, static_argnames=("warp",))
     def step(l, r, pv, T, warp):
@@ -137,9 +174,14 @@ def main() -> None:
             t_prev_inv = poses[min(i, len(poses) - 1)]
 
         t0 = time.time()
-        outputs, prev = step(l, r, prev, T_p2n,
-                             warp=(i > 0 and model.with_previous))
-        disp = np.asarray(outputs["disps"][0][0, :, :, 0])
+        if bundle is not None:
+            disp = np.asarray(
+                bundle.step(l, r, jnp.asarray(K), jnp.asarray(baseline),
+                            T_p2n)[0, :, :, 0])
+        else:
+            outputs, prev = step(l, r, prev, T_p2n,
+                                 warp=(i > 0 and model.with_previous))
+            disp = np.asarray(outputs["disps"][0][0, :, :, 0])
         dt = time.time() - t0
 
         stem = os.path.splitext(name)[0]

@@ -28,6 +28,41 @@ from flax import linen as nn
 
 Activation = Union[str, Tuple, list, None]
 
+# BatchNorm param-subtree paths rewritten by utils/fold_bn.fold_batch_norms
+# (scale/stats neutralized, shift moved into bias): at eval these BNs are
+# exactly `x + bias`, and the fast path below emits only that add — deleting
+# the sub/rsqrt/mul/mul chain and its stat-tensor prefetches per BN.
+_FOLDED_BN_PATHS: frozenset = frozenset()
+
+
+def set_folded_bn_paths(paths) -> None:
+    """Activate the folded-BN fast path for the given BatchNorm param paths
+    (tuples ending in 'BatchNorm_0'; [] deactivates).  Pair ONLY with
+    variables produced by utils/fold_bn.fold_batch_norms — eval graphs only."""
+    global _FOLDED_BN_PATHS
+    _FOLDED_BN_PATHS = frozenset(tuple(p) for p in paths)
+
+
+class _BNShift(nn.Module):
+    """Eval-time stand-in for a folded BatchNorm: reads the (rewritten) BN
+    bias from the SAME param path and adds it — nothing else."""
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return x + bias.astype(x.dtype)
+
+
+def _folded_here(module: nn.Module) -> bool:
+    if not _FOLDED_BN_PATHS:
+        return False
+    try:
+        path = tuple(module.path)
+    except Exception:
+        return False
+    return path + ("BatchNorm_0",) in _FOLDED_BN_PATHS
+
 
 def get_activation(activation: Activation) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Activation factory (reference get_activation, basic_layers.py:42-73)."""
@@ -88,6 +123,9 @@ class Norm(nn.Module):
         kind = self.kind
         if kind is None or kind == "None":
             return x
+        if kind in ("BN", "BN1d", "BN3d", "SyncBN", "nnSyncBN", "naiveSyncBN",
+                    "FrozenBN") and not train and _folded_here(self):
+            return _BNShift(name="BatchNorm_0", dtype=self.dtype)(x)
         if kind in ("BN", "BN1d", "BN3d", "SyncBN", "nnSyncBN", "naiveSyncBN"):
             # use_fast_variance=False: the one-pass E[x^2]-E[x]^2 form loses
             # ~3 digits to cancellation on conv activations, and the temporal

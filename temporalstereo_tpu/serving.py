@@ -1,0 +1,247 @@
+"""AOT serving bundle for the flagship streaming mode.
+
+The reference's serving UX is "load ckpt and go" (video_inference.py); on
+TPU the equivalent cold start pays minutes of XLA compile for the streaming
+graphs (the steady state plus one graph per local-map growth stage, CLAUDE
+notes 5-15 min cold).  This module AOT-compiles those graphs ONCE and
+serializes the compiled executables (jax.experimental.serialize_executable),
+so a fresh host at the same platform/topology loads and runs with ZERO
+compile — the TPU-native answer to the reference's UX.
+
+Bundle = one pickle file:
+  {"meta": {platform, device_kind, jax_version, h, w, b, stages,
+            with_previous, local_map_size, fold_bn},
+   "graphs": {stage_name: (payload, in_tree, out_tree)}}
+
+Stage graphs (exact-growth schedule, models/temporal.py):
+  g0          first frame, no warp, local_map 0 channels
+  g{k}, k>=1  growth frame: warp grows the map k-1 -> k channels
+  steady      full-width map, warp on
+
+Each graph is a pure function
+  (variables, left, right, prev, K, baseline, T) -> (disps0, new_prev)
+with the weights passed at call time, so one bundle serves any checkpoint
+of the same architecture.
+
+Weights are NOT baked in; pair the bundle with a weights file
+(training/checkpoint.save_weights) or any supported checkpoint.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BUNDLE_VERSION = 1
+
+
+def _register_pytree_serialization() -> None:
+    """jax.export StableHLO artifacts embed the arg pytree structure; the
+    carried-state dataclasses (PrevInfo, CostMemory) need named
+    serializers.  Both have no static auxdata (register_dataclass with only
+    data fields), so pickle of the (empty) auxdata suffices."""
+    from jax import export as jexport
+
+    from .models.aggregation import CostMemory
+    from .models.stereo import PrevInfo
+
+    for cls, name in ((PrevInfo, "temporalstereo_tpu.PrevInfo"),
+                      (CostMemory, "temporalstereo_tpu.CostMemory")):
+        try:
+            jexport.register_pytree_node_serialization(
+                cls, serialized_name=name,
+                serialize_auxdata=pickle.dumps,
+                deserialize_auxdata=pickle.loads)
+        except ValueError:  # already registered (re-import, tests)
+            pass
+
+
+_register_pytree_serialization()
+
+
+def _stage_list(model) -> "list[tuple[str, int, bool]]":
+    """[(name, incoming local_map channels, warp)] for the exact-growth
+    streaming schedule."""
+    if not model.with_previous:
+        return [("single", 0, False)]
+    stages = [("g0", 0, False)]
+    s = model.local_map_size
+    for k in range(1, s + 1):
+        stages.append((f"g{k}", k - 1, True))
+    stages.append(("steady", s, True))
+    return stages
+
+
+def _stage_fn(model, warp: bool):
+    from .models.temporal import streaming_step
+
+    def fn(variables, l, r, prev, K, baseline, T):
+        outputs, new_prev = streaming_step(
+            model, variables, l, r, prev, K, baseline, T,
+            warp=warp if prev is not None else False)
+        return outputs["disps"][0], new_prev
+
+    return fn
+
+
+def _stage_args(model, variables, b: int, h: int, w: int, channels: int,
+                steady: bool, input_dtype=jnp.float32):
+    from .models import backbone_memory_shapes, init_prev_info
+
+    # executables are dtype-locked: f32 matches the CLI's normalized frames
+    # (pass bfloat16 for the bench-style bf16 feed)
+    l = jnp.zeros((b, h, w, 3), input_dtype)
+    K = jnp.eye(3, dtype=jnp.float32)[None].repeat(b, 0)
+    baseline = jnp.full((b,), 0.54, jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32)[None].repeat(b, 0)
+    prev = None
+    if model.with_previous:
+        mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
+        topk = model.precise_cfg.get("topk", 2)
+        prev = init_prev_info(
+            model, b, (h, w), mem_shapes, topk, model.dtype,
+            local_map_channels=None if steady else channels)
+    return variables, l, l, prev, K, baseline, T
+
+
+def export_streaming_bundle(model, variables, path: str, b: int, h: int,
+                            w: int, fold_bn: bool = False,
+                            input_dtype=jnp.float32,
+                            progress=print) -> Dict[str, Any]:
+    """AOT-compile every streaming stage graph and write the bundle.
+
+    Each stage is stored TWICE: the pickled native executable (zero compile
+    when it loads cleanly on a matching platform) and the portable
+    StableHLO export (always loadable; recompiles, but skips tracing and
+    hits the persistent compile cache)."""
+    from jax import export as jexport
+    from jax.experimental import serialize_executable as se
+
+    graphs = {}
+    stages = _stage_list(model)
+    for name, channels, warp in stages:
+        args = _stage_args(model, variables, b, h, w, channels,
+                           steady=(name in ("steady", "single")),
+                           input_dtype=input_dtype)
+        progress(f"bundle: compiling stage '{name}' "
+                 f"(local_map={channels}ch, warp={warp})...")
+        jitted = jax.jit(_stage_fn(model, warp))
+        compiled = jitted.lower(*args).compile()
+        hlo = jexport.export(jitted)(*args).serialize()
+        graphs[name] = {"exe": se.serialize(compiled), "hlo": hlo}
+    meta = {
+        "version": BUNDLE_VERSION,
+        "platform": jax.devices()[0].platform,
+        "device_kind": jax.devices()[0].device_kind,
+        "jax_version": jax.__version__,
+        "b": b, "h": h, "w": w,
+        "num_devices": 1,
+        "input_dtype": str(jnp.dtype(input_dtype)),
+        "stages": [s[0] for s in stages],
+        "with_previous": model.with_previous,
+        "local_map_size": model.local_map_size,
+        "fold_bn": fold_bn,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as fp:
+        pickle.dump({"meta": meta, "graphs": graphs}, fp)
+    progress(f"bundle: wrote {len(graphs)} compiled graphs -> {path} "
+             f"({os.path.getsize(path) / 1e6:.1f} MB)")
+    return meta
+
+
+class StreamingBundle:
+    """Loaded AOT bundle: a stateful per-frame streaming session with zero
+    compilation."""
+
+    def __init__(self, meta: Dict[str, Any], fns: Dict[str, Any], model,
+                 variables):
+        self.meta = meta
+        self._fns = fns
+        self._model = model
+        self._variables = variables
+        self.reset()
+
+    def reset(self) -> None:
+        self._frame = 0
+        self._prev = None
+        if self.meta["with_previous"]:
+            from .models import backbone_memory_shapes, init_prev_info
+
+            m = self._model
+            mem_shapes = backbone_memory_shapes(
+                m.backbone_cfg, (self.meta["h"], self.meta["w"]))
+            self._prev = init_prev_info(
+                m, self.meta["b"], (self.meta["h"], self.meta["w"]),
+                mem_shapes, m.precise_cfg.get("topk", 2), m.dtype,
+                local_map_channels=0 if m.local_map_size > 0 else None)
+
+    def _stage_name(self) -> str:
+        if not self.meta["with_previous"]:
+            return "single"
+        s = self.meta["local_map_size"]
+        if self._frame <= s:
+            return f"g{self._frame}"
+        return "steady"
+
+    def step(self, left, right, K, baseline, T_past_to_now):
+        """One streaming frame -> full-res disparity [B, H, W, 1]."""
+        fn = self._fns[self._stage_name()]
+        disp, new_prev = fn(self._variables, left, right, self._prev, K,
+                            baseline, T_past_to_now)
+        if self.meta["with_previous"]:
+            self._prev = new_prev
+        self._frame += 1
+        return disp
+
+
+def load_streaming_bundle(path: str, model, variables,
+                          progress=print) -> StreamingBundle:
+    """Load a bundle.  Per stage: try the zero-compile native executable
+    first (probe-run on dummy inputs — AOT loads can fail across host
+    revisions); fall back to the portable StableHLO export, which re-uses
+    the persistent compile cache."""
+    from jax import export as jexport
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fp:
+        data = pickle.load(fp)
+    meta = data["meta"]
+    platform = jax.devices()[0].platform
+    same_platform = meta["platform"] == platform
+    if not same_platform:
+        progress(f"bundle: compiled for '{meta['platform']}' "
+                 f"({meta.get('device_kind')}), host is '{platform}' — "
+                 "using the portable StableHLO path (will compile)")
+    # pin execution to the device count the graphs were compiled for (the
+    # serving graphs are single-device; without this, deserialization maps
+    # the executable onto ALL local devices and the arg shardings mismatch)
+    devices = jax.devices()[: meta.get("num_devices", 1)]
+    input_dtype = jnp.dtype(meta.get("input_dtype", "float32"))
+    stages = {s: (c, wp) for s, c, wp in _stage_list(model)}
+    fns = {}
+    for name, blob in data["graphs"].items():
+        fn = None
+        if same_platform and blob.get("exe") is not None:
+            try:
+                fn = se.deserialize_and_load(*blob["exe"],
+                                             execution_devices=devices)
+                # probe: a stale/mismatched AOT executable can load but die
+                # at run time — validate before trusting it
+                channels, _ = stages[name]
+                args = _stage_args(model, variables, meta["b"], meta["h"],
+                                   meta["w"], channels,
+                                   steady=(name in ("steady", "single")),
+                                   input_dtype=input_dtype)
+                jax.block_until_ready(jax.tree.leaves(fn(*args))[0])
+            except Exception as e:  # fall back to the portable path
+                progress(f"bundle: native executable for '{name}' failed "
+                         f"({type(e).__name__}); using StableHLO fallback")
+                fn = None
+        if fn is None:
+            fn = jax.jit(jexport.deserialize(blob["hlo"]).call)
+        fns[name] = fn
+    return StreamingBundle(meta, fns, model, variables)
