@@ -162,6 +162,9 @@ def main():
     ap.add_argument("--out", default="/root/recipe_out")
     ap.add_argument("--stage1-epochs", type=int, default=3)
     ap.add_argument("--stage2-epochs", type=int, default=2)
+    ap.add_argument("--val-every", type=int, default=0,
+                    help="validate every N epochs (0 = only at the end) — "
+                         "set for convergence curves on long runs")
     args = ap.parse_args()
 
     d1 = os.path.join(args.data_root, "stage1")
@@ -177,12 +180,19 @@ def main():
     win = "[-10, -9, -8, -7, -6, -5, -4, -3, -2, -1, 0]"
 
     # ---- stage 1: single-frame pretraining -------------------------------
+    # the reference decays LR at 30/40 of its 40-epoch budget; preserve that
+    # SHAPE at any epoch count (at 12-step synthetic epochs the absolute
+    # milestone [30] would freeze the run a third of the way in)
+    m1 = sorted({max(int(args.stage1_epochs * 30 / 40), 1),
+                 max(int(args.stage1_epochs * 37 / 40), 2)})
     s1_opts = [
         "--config-file", "configs/sceneflow.yaml",
         "LOG_DIR", args.out,
         "TRAINER.VERSION", "recipe/stage1",
+        "SCHEDULER.MULTI_STEP_LR.MILESTONES", repr(m1),
         "TRAINER.MAX_EPOCHS", str(args.stage1_epochs),
-        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS", str(args.stage1_epochs),
+        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS",
+        str(args.val_every or args.stage1_epochs),
         "TRAINER.FLUSH_LOGS_EVERY_N_STEPS", "4",
         "TRAINER.VIS_EVERY_N_TRAIN_STEPS", "0",
         "VAL.VIS_BATCH_INDEX", "0",
@@ -203,7 +213,8 @@ def main():
         "LOG_DIR", args.out,
         "TRAINER.VERSION", "recipe/stage2",
         "TRAINER.MAX_EPOCHS", str(args.stage2_epochs),
-        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS", str(args.stage2_epochs),
+        "TRAINER.CHECK_VAL_EVERY_N_EPOCHS",
+        str(args.val_every or args.stage2_epochs),
         "TRAINER.FLUSH_LOGS_EVERY_N_STEPS", "2",
         "TRAINER.VIS_EVERY_N_TRAIN_STEPS", "0",
         "TRAINER.LOAD_FROM_CHECKPOINT", s1_weights,
