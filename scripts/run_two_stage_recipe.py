@@ -165,6 +165,9 @@ def main():
     ap.add_argument("--val-every", type=int, default=0,
                     help="validate every N epochs (0 = only at the end) — "
                          "set for convergence curves on long runs")
+    ap.add_argument("--skip-stage1", action="store_true",
+                    help="reuse an existing stage-1 weights_final.msgpack "
+                         "in --out (iterate on the fine-tune alone)")
     args = ap.parse_args()
 
     d1 = os.path.join(args.data_root, "stage1")
@@ -202,9 +205,13 @@ def main():
         *_data_opts("TEST", d1, "ann_test.json", 512, 960, 1, "[0]"),
     ]
     s1_log = os.path.join(args.out, "stage1.log")
-    s1 = _run("stage1", s1_opts, s1_log)
     s1_weights = os.path.join(args.out, "TemporalStereo", "recipe/stage1",
                               "weights_final.msgpack")
+    if args.skip_stage1 and os.path.exists(s1_weights):
+        print(f"[stage1] skipped — reusing {s1_weights}", flush=True)
+        s1 = open(s1_log).read() if os.path.exists(s1_log) else ""
+    else:
+        s1 = _run("stage1", s1_opts, s1_log)
     assert os.path.exists(s1_weights), s1_weights
 
     # ---- stage 2: 11-frame temporal fine-tune with warm start + SWA ------

@@ -3,12 +3,14 @@
 TPU-native replacement for the reference's torch DataLoader usage
 (projects/TemporalStereo/TemporalStereo.py:49-70).  Two worker models:
 
-  * ``use_processes=True`` (training default): a persistent fork-based
+  * ``use_processes=True`` (training default): a persistent forkserver
     process pool; each worker assembles ONE whole batch (decode + augment +
     collate) and ships it back — the torch num_workers model, which sidesteps
-    the GIL that bound the round-3 thread loader to ~1 core.  Workers are
-    forked, so they inherit the parent's state WITHOUT re-running
-    sitecustomize (they never touch the TPU or jax).
+    the GIL that bound the round-3 thread loader to ~1 core.  Forkserver
+    (not plain fork): forking a jax-threaded parent copies mutexes in
+    locked state and deadlocks workers nondeterministically; the clean
+    server + env scrub in ``_ensure_pool`` avoids both that and any TPU
+    claim by workers.
   * ``use_processes=False``: the thread-pool path (cheap for tests / small
     in-memory datasets).
 
@@ -141,10 +143,31 @@ class DataLoader:
 
     # ------------------------------------------------------------ processes
     def _ensure_pool(self):
+        """Worker pool via FORKSERVER: plain fork() of a process whose jax
+        runtime already spun threads copies mutexes in locked state and
+        deadlocks workers nondeterministically (observed: worker stuck in
+        futex_wait).  The forkserver process is fork+exec'd CLEAN and
+        workers fork from it, so they never inherit jax's threads; the
+        dataset is pickled to each worker once.  The TPU-claim env is
+        scrubbed while the server starts so no worker ever claims the chip
+        (the sitecustomize gates on PALLAS_AXON_POOL_IPS)."""
         if self._pool is None:
-            ctx = mp.get_context("fork")
-            self._pool = ctx.Pool(self.num_workers, initializer=_pool_init,
-                                  initargs=(self.dataset,))
+            methods = mp.get_all_start_methods()
+            method = "forkserver" if "forkserver" in methods else "fork"
+            ctx = mp.get_context(method)
+            scrub = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+            saved = {k: os.environ.get(k) for k in scrub}
+            os.environ.update(scrub)
+            try:
+                self._pool = ctx.Pool(self.num_workers,
+                                      initializer=_pool_init,
+                                      initargs=(self.dataset,))
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
         return self._pool
 
     def close(self) -> None:

@@ -28,6 +28,7 @@ Weights are NOT baked in; pair the bundle with a weights file
 """
 from __future__ import annotations
 
+import gzip
 import os
 import pickle
 from typing import Any, Dict, Optional, Tuple
@@ -146,7 +147,9 @@ def export_streaming_bundle(model, variables, path: str, b: int, h: int,
         "fold_bn": fold_bn,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as fp:
+    # level-1 gzip: ~4x smaller (the big one-hot interpolation constants
+    # embedded in the graphs compress well) for ~15 s on a full-size bundle
+    with gzip.open(path, "wb", compresslevel=1) as fp:
         pickle.dump({"meta": meta, "graphs": graphs}, fp)
     progress(f"bundle: wrote {len(graphs)} compiled graphs -> {path} "
              f"({os.path.getsize(path) / 1e6:.1f} MB)")
@@ -207,7 +210,10 @@ def load_streaming_bundle(path: str, model, variables,
     from jax import export as jexport
     from jax.experimental import serialize_executable as se
 
-    with open(path, "rb") as fp:
+    with open(path, "rb") as raw:
+        magic = raw.read(2)
+    opener = gzip.open if magic == b"\x1f\x8b" else open
+    with opener(path, "rb") as fp:
         data = pickle.load(fp)
     meta = data["meta"]
     platform = jax.devices()[0].platform
