@@ -191,3 +191,25 @@ def test_spatial_sharded_forward_matches():
     assert "spatial" in str(out.sharding.spec)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(ref["disps"][0]), atol=1e-4)
+
+
+def test_prefetch_to_device_yields_all_batches_sharded(mesh):
+    """prefetch_to_device: every loader batch arrives exactly once, in
+    order, placed with the standard batch shardings, paired with its host
+    batch (the trainer's async H2D double-buffering)."""
+    from temporalstereo_tpu.parallel import prefetch_to_device
+
+    batches = [_batch() for _ in range(5)]
+    for i, b in enumerate(batches):
+        b["K"] = b["K"] + i  # make order observable
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == len(batches)
+    for i, (dev, host) in enumerate(out):
+        assert host is batches[i]
+        np.testing.assert_array_equal(np.asarray(dev["K"]), host["K"])
+        assert dev["left"].sharding == batch_sharding(mesh, "left")
+        assert dev["K"].sharding == batch_sharding(mesh, "K")
+
+    # size <= 0 is clamped to at least one in-flight batch
+    out2 = list(prefetch_to_device(iter(batches[:2]), mesh, size=0))
+    assert len(out2) == 2
