@@ -105,11 +105,17 @@ def make_data(args):
     return train_t, train_1, held
 
 
-def last_frame_only(vb):
-    return {"left": vb["left"][-1:], "right": vb["right"][-1:],
-            "disp_gt": vb["disp_gt"][-1:], "T_cam": vb["T_cam"][-1:],
-            "inv_T": vb["inv_T"][-1:], "K": vb["K"],
+def last_frames(vb, k):
+    """Truncate a held-out video batch to its last ``k`` frames (same final
+    target frame, less temporal context)."""
+    return {"left": vb["left"][-k:], "right": vb["right"][-k:],
+            "disp_gt": vb["disp_gt"][-k:], "T_cam": vb["T_cam"][-k:],
+            "inv_T": vb["inv_T"][-k:], "K": vb["K"],
             "baseline": vb["baseline"]}
+
+
+def last_frame_only(vb):
+    return last_frames(vb, 1)
 
 
 def run_config(name, opts, train_batches, held_batches, args):
@@ -169,6 +175,18 @@ def run_config(name, opts, train_batches, held_batches, args):
     res["held_ctx"] = eval_on(held_batches)
     # held-out, COLD: same weights, no context — isolates the carried state
     res["held_cold"] = eval_on([last_frame_only(b) for b in held_batches])
+    if args.context_sweep:
+        # accuracy vs context length: EPE on the SAME final frames given
+        # k frames of streaming context (one compiled graph per k)
+        sweep = {}
+        t_eval = held_batches[0]["left"].shape[0]
+        for k in sorted({1, 3, 5, 7, t_eval}):
+            if k > t_eval:
+                continue
+            sweep[k] = eval_on([last_frames(b, k) for b in held_batches])
+            print(f"  [{name}] context {k}: EPE "
+                  f"{sweep[k]['epe']:.3f} px", flush=True)
+        res["context_sweep"] = {str(k): v for k, v in sweep.items()}
     print(f"  [{name}] ctx EPE {res['held_ctx']['epe']:.3f} px "
           f"3px {res['held_ctx']['3px']:.2f}% | cold EPE "
           f"{res['held_cold']['epe']:.3f} px", flush=True)
@@ -195,6 +213,9 @@ def main():
                     help="tiny-variant smoke run (CPU logic check)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (consumed at import)")
+    ap.add_argument("--context-sweep", action="store_true",
+                    help="also evaluate EPE vs context length (1..t_eval "
+                         "frames) — one compiled graph per length")
     args = ap.parse_args()
 
     if args.tiny:
