@@ -102,13 +102,11 @@ def main():
     if os.environ.get("TS_FOLD_BN", "") not in ("", "0"):
         # fold eval-mode BN into conv weights (utils/fold_bn): each BN
         # becomes a single add — the op-count/DMA experiment of VERDICT r4.
-        # Must run BEFORE any jit of the forward (jaxpr/jit caches would
-        # otherwise pin the unfolded graph).
-        from temporalstereo_tpu.nn.layers import set_folded_bn_paths
+        # The folded variables carry the 'folded_bn' marker collection that
+        # engages the fast path inside nn.layers.Norm.
         from temporalstereo_tpu.utils.fold_bn import fold_batch_norms
 
         variables, fold_paths = fold_batch_norms(variables)
-        set_folded_bn_paths(fold_paths)
         print(f"bench: folded {len(fold_paths)} BNs into conv weights",
               file=sys.stderr, flush=True)
 

@@ -12,7 +12,8 @@
 //   ts_resize_bilinear — align-corners bilinear resize, HWC float32
 //   ts_normalize       — (x - mean) / std, in place, channels-last
 //   ts_crop            — HWC crop
-//   ts_color_jitter    — brightness/contrast/saturation/gamma photometric aug
+//   ts_color_jitter    — torchvision-exact photometric aug (random-order
+//                        brightness/contrast/saturation/HSV-hue + gamma)
 //
 // Build: make -C native   (produces libtsnative.so)
 
@@ -174,30 +175,90 @@ void ts_crop(const float* in, int h, int w, int c, int y, int x, int ch_,
 
 // ------------------------------------------------------- color jitter ----
 
-// Photometric aug matching transforms.color_jitter: brightness, contrast,
-// saturation (channel mix towards gray), gamma. All factors precomputed by
-// the caller so Python keeps RNG control.
-void ts_color_jitter(float* img, int64_t n_pixels, int c, float brightness,
-                     float contrast, float saturation, float gamma) {
-  // pass 1: mean for contrast
-  double sum = 0.0;
-  int64_t n = n_pixels * c;
-  for (int64_t i = 0; i < n; ++i) sum += img[i] * brightness;
-  float mean = (float)(sum / n);
-  for (int64_t i = 0; i < n_pixels; ++i) {
-    float* p = img + i * c;
-    float gray = 0.f;
-    for (int ch = 0; ch < c; ++ch) {
-      p[ch] = (p[ch] * brightness - mean) * contrast + mean;
-      gray += p[ch];
-    }
-    gray /= c;
-    for (int ch = 0; ch < c; ++ch) {
-      float v = gray + (p[ch] - gray) * saturation;
-      v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
-      p[ch] = powf(v, gamma);
+static inline float ts_clip01(float v) {
+  return v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+}
+
+// torchvision-exact photometric aug on [n_pixels, 3] RGB float32 in [0,1],
+// IN PLACE — the native mirror of data/transforms.py color_jitter
+// (reference base.py:73-97 semantics):
+//   * the four adjustments run in the CALLER-SUPPLIED order (Python keeps
+//     RNG control: factors + torch-style random op permutation drawn there)
+//   * op 0 brightness   clip(x * fb)
+//   * op 1 contrast     blend with the scalar mean of the ITU-R 601-2
+//                       grayscale: clip(fc*x + (1-fc)*mean(gray))
+//   * op 2 saturation   blend with per-pixel grayscale
+//   * op 3 hue          true HSV rotation by fh (branch structure mirrors
+//                       the numpy _rgb_to_hsv/_hsv_to_rgb pair exactly,
+//                       including tie-breaks and the floored mod)
+//   * then gamma        clip(clip(x)^fgamma)
+void ts_color_jitter(float* img, int64_t n_pixels, const int32_t* order,
+                     int n_ops, float fb, float fc, float fs, float fh,
+                     float fgamma) {
+  const int64_t n = n_pixels * 3;
+  for (int oi = 0; oi < n_ops; ++oi) {
+    switch (order[oi]) {
+      case 0: {  // brightness
+        for (int64_t i = 0; i < n; ++i) img[i] = ts_clip01(img[i] * fb);
+        break;
+      }
+      case 1: {  // contrast: blend with mean grayscale
+        double sum = 0.0;
+        for (int64_t i = 0; i < n_pixels; ++i) {
+          const float* p = img + i * 3;
+          sum += 0.2989f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+        }
+        const float bg = (1.f - fc) * (float)(sum / (double)n_pixels);
+        for (int64_t i = 0; i < n; ++i) img[i] = ts_clip01(fc * img[i] + bg);
+        break;
+      }
+      case 2: {  // saturation: blend with per-pixel grayscale
+        for (int64_t i = 0; i < n_pixels; ++i) {
+          float* p = img + i * 3;
+          const float bg =
+              (1.f - fs) * (0.2989f * p[0] + 0.587f * p[1] + 0.114f * p[2]);
+          p[0] = ts_clip01(fs * p[0] + bg);
+          p[1] = ts_clip01(fs * p[1] + bg);
+          p[2] = ts_clip01(fs * p[2] + bg);
+        }
+        break;
+      }
+      default: {  // hue rotation in HSV
+        for (int64_t i = 0; i < n_pixels; ++i) {
+          float* p = img + i * 3;
+          const float r = p[0], g = p[1], b = p[2];
+          const float maxc = std::max(r, std::max(g, b));
+          const float minc = std::min(r, std::min(g, b));
+          const float v = maxc, delta = maxc - minc;
+          const float s = maxc > 0.f ? delta / std::max(maxc, 1e-12f) : 0.f;
+          const float safe = std::max(delta, 1e-12f);
+          float h;
+          if (maxc == r) h = (g - b) / safe;          // first-match order =
+          else if (maxc == g) h = 2.f + (b - r) / safe;  // numpy np.where
+          else h = 4.f + (r - g) / safe;
+          if (delta > 0.f) {
+            h = fmodf(h / 6.f, 1.f);
+            if (h < 0.f) h += 1.f;                    // floored mod
+          } else {
+            h = 0.f;
+          }
+          h = fmodf(h + fh, 1.f);
+          if (h < 0.f) h += 1.f;
+          const float h6 = h * 6.f;
+          const float ns[3] = {5.f, 3.f, 1.f};
+          for (int ch = 0; ch < 3; ++ch) {
+            float k = fmodf(ns[ch] + h6, 6.f);
+            float t = std::min(k, 4.f - k);
+            t = t < 0.f ? 0.f : (t > 1.f ? 1.f : t);
+            p[ch] = v * (1.f - s * t);
+          }
+        }
+        break;
+      }
     }
   }
+  for (int64_t i = 0; i < n; ++i)
+    img[i] = ts_clip01(powf(ts_clip01(img[i]), fgamma));
 }
 
 // ---------------------------------------------------------------- PNG ----

@@ -79,17 +79,29 @@ def generate_stage1(root, n_train=48, n_eval=4, h=540, w=960, seed=11):
             json.dump(items, f)
 
 
-def generate_stage2(root, n_seq=4, n_frames=16, window=11, h=540, w=960,
-                    tx=0.05, seed=21):
+def generate_stage2(root, n_seq=4, n_heldout=0, n_frames=16, window=11,
+                    h=540, w=960, tx=0.05, seed=21, noise=0.0):
     """Temporal videos: static scene, stereo rig translating laterally by
     ``tx`` per frame; poses written as camera_data-style cam-to-world rows
-    (SceneFlowDataset.extrinsic_loader inverts them)."""
+    (SceneFlowDataset.extrinsic_loader inverts them).
+
+    ``n_heldout`` > 0 switches to the held-out-SCENE protocol (round-5):
+    every window of the first ``n_seq`` sequences trains; every window of
+    ``n_heldout`` additional, never-trained scenes is the eval set (the
+    legacy default holds out only the final window of each train scene).
+    ``noise`` adds fresh iid per-frame sensor noise (sigma in [0,1] image
+    units) before the uint8 save — the signal temporal aggregation can
+    average that a single-frame estimator cannot (scripts/
+    temporal_advantage.py showed the effect needs it; 0.035 in [0,1]
+    units ~= the 0.15 it used in ImageNet-normalized units)."""
     from temporalstereo_tpu.cli.sanity_train import _scanline_warp
 
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
+    noise_rng = np.random.RandomState(seed + 9999)
     train_items, eval_items = [], []
-    for s in range(n_seq):
+    for s in range(n_seq + n_heldout):
+        heldout_scene = s >= n_seq
         os.makedirs(os.path.join(root, f"seq{s}"), exist_ok=True)
         img, disp = _scene(rng, h, w)
         pose_rows = []
@@ -100,6 +112,11 @@ def generate_stage2(root, n_seq=4, n_frames=16, window=11, h=540, w=960,
             left_i = _scanline_warp(img, flow)
             disp_i = _scanline_warp(disp, flow)
             right_i = _scanline_warp(img, flow + disp_i)
+            if noise > 0:
+                left_i = np.clip(
+                    left_i + noise_rng.randn(*left_i.shape) * noise, 0, 1)
+                right_i = np.clip(
+                    right_i + noise_rng.randn(*right_i.shape) * noise, 0, 1)
             lp = f"seq{s}/L{i:04d}.png"
             rp = f"seq{s}/R{i:04d}.png"
             dp = f"seq{s}/D{i:04d}.pfm"
@@ -119,7 +136,11 @@ def generate_stage2(root, n_seq=4, n_frames=16, window=11, h=540, w=960,
                 item[str(fi)] = {"left_image_path": lp,
                                  "right_image_path": rp,
                                  "left_disp_path": dp}
-            (eval_items if end == n_frames - 1 else train_items).append(item)
+            if n_heldout > 0:
+                (eval_items if heldout_scene else train_items).append(item)
+            else:
+                (eval_items if end == n_frames - 1
+                 else train_items).append(item)
     with open(os.path.join(root, "ann_train.json"), "w") as f:
         json.dump(train_items, f)
     with open(os.path.join(root, "ann_eval.json"), "w") as f:
@@ -168,16 +189,34 @@ def main():
     ap.add_argument("--skip-stage1", action="store_true",
                     help="reuse an existing stage-1 weights_final.msgpack "
                          "in --out (iterate on the fine-tune alone)")
+    ap.add_argument("--skip-stage2", action="store_true",
+                    help="skip the temporal fine-tune (e.g. --control only)")
+    ap.add_argument("--control", action="store_true",
+                    help="after stage 2, fine-tune a matched-budget SINGLE-"
+                         "FRAME control (WITH_PREVIOUS=False, same stage-1 "
+                         "warm start / epochs / LR / SWA, supervised on the "
+                         "identical final-frame targets) and evaluate it on "
+                         "the identical held-out 11-frame video test")
+    ap.add_argument("--stage2-dirname", default="stage2",
+                    help="subdir of --data-root for the stage-2 corpus "
+                         "(use a fresh name when changing corpus params)")
+    ap.add_argument("--stage2-train-seqs", type=int, default=4)
+    ap.add_argument("--stage2-heldout-seqs", type=int, default=0,
+                    help=">0 = held-out-SCENE eval protocol")
+    ap.add_argument("--stage2-noise", type=float, default=0.0,
+                    help="per-frame iid sensor noise sigma in [0,1] units")
     args = ap.parse_args()
 
     d1 = os.path.join(args.data_root, "stage1")
-    d2 = os.path.join(args.data_root, "stage2")
+    d2 = os.path.join(args.data_root, args.stage2_dirname)
     if not os.path.exists(os.path.join(d1, "ann_train.json")):
         print("generating stage-1 data...", flush=True)
         generate_stage1(d1)
     if not os.path.exists(os.path.join(d2, "ann_train.json")):
         print("generating stage-2 data...", flush=True)
-        generate_stage2(d2)
+        generate_stage2(d2, n_seq=args.stage2_train_seqs,
+                        n_heldout=args.stage2_heldout_seqs,
+                        noise=args.stage2_noise)
 
     os.makedirs(args.out, exist_ok=True)
     win = "[-10, -9, -8, -7, -6, -5, -4, -3, -2, -1, 0]"
@@ -215,10 +254,13 @@ def main():
     assert os.path.exists(s1_weights), s1_weights
 
     # ---- stage 2: 11-frame temporal fine-tune with warm start + SWA ------
-    s2_opts = [
+    # reference decays LR at 12/16 of the fine-tune budget
+    # (configs/kitti2015-multi.yaml MILESTONES [12], MAX_EPOCHS 16);
+    # preserve that SHAPE at any epoch count like stage 1 does
+    m2 = [max(int(args.stage2_epochs * 12 / 16), 1)]
+    common_s2 = [
         "--config-file", "configs/kitti2015-multi.yaml",
         "LOG_DIR", args.out,
-        "TRAINER.VERSION", "recipe/stage2",
         "TRAINER.MAX_EPOCHS", str(args.stage2_epochs),
         "TRAINER.CHECK_VAL_EVERY_N_EPOCHS",
         str(args.val_every or args.stage2_epochs),
@@ -231,26 +273,74 @@ def main():
         "VAL.VIS_BATCH_INDEX", "0",
         "VAL.EVAL_DISPARITY_IDS", "[0]",
         "CHECKPOINT.EVERY_N_EPOCHS", str(args.stage2_epochs),
-        "SCHEDULER.MULTI_STEP_LR.MILESTONES", "[2]",
-        *_data_opts("TRAIN", d2, "ann_train.json", 320, 896, 2, win),
+        "SCHEDULER.MULTI_STEP_LR.MILESTONES", repr(m2),
         *_data_opts("VAL", d2, "ann_eval.json", 384, 896, 1, win),
         *_data_opts("TEST", d2, "ann_eval.json", 384, 896, 1, win),
     ]
+    s2_opts = [
+        "TRAINER.VERSION", "recipe/stage2",
+        *common_s2,
+        *_data_opts("TRAIN", d2, "ann_train.json", 320, 896, 2, win),
+    ]
     s2_log = os.path.join(args.out, "stage2.log")
-    s2 = _run("stage2", s2_opts, s2_log)
+    if args.skip_stage2:
+        s2 = open(s2_log).read() if os.path.exists(s2_log) else ""
+        print("[stage2] skipped", flush=True)
+    else:
+        s2 = _run("stage2", s2_opts, s2_log)
+
+    # ---- matched-budget single-frame CONTROL (VERDICT r4 #1) -------------
+    # Same warm start, epochs, LR schedule, SWA and loss TARGETS (the final
+    # frame of each window — FRAME_IDXS [0] keys the same frames the
+    # temporal run supervises, TemporalStereo trains only the last frame
+    # under PREVIOUS_WITH_GRADIENT=False); architecture = the stage-1
+    # single-frame model (full warm start).  Evaluated on the IDENTICAL
+    # held-out 11-frame video annfile (the model ignores context).
+    ctrl_log = os.path.join(args.out, "control.log")
+    ctrl = ""
+    if args.control:
+        ctrl_opts = [
+            "TRAINER.VERSION", "recipe/control",
+            *common_s2,
+            "MODEL.WITH_PREVIOUS", "False",
+            "MODEL.USE_PAST_COST", "False",
+            "MODEL.LOCAL_MAP_SIZE", "0",
+            "MODEL.BACKBONE.MEMORY_PERCENT", "0.0",
+            *_data_opts("TRAIN", d2, "ann_train.json", 320, 896, 2, "[0]"),
+        ]
+        ctrl = _run("control", ctrl_opts, ctrl_log)
 
     # ---- summary ---------------------------------------------------------
+    def _epes(txt):
+        return re.findall(r"disparity_0/all\s+(?:[0-9.]+\s+){4}([0-9.]+)",
+                          txt)
+
     warm = re.search(r"warm-started (\d+) tensors", s2)
     losses1 = re.findall(r"loss[ =:]+([0-9.]+)", s1)
     losses2 = re.findall(r"loss[ =:]+([0-9.]+)", s2)
-    epes = re.findall(r"disparity_0/all\s+(?:[0-9.]+\s+){4}([0-9.]+)", s2)
+    summary = {
+        "stage1_final_losses": losses1[-2:],
+        "stage2_warm_tensors": warm.group(1) if warm else None,
+        "stage2_losses": losses2[:2] + losses2[-2:],
+        "stage2_val_test_epes": _epes(s2),
+        "control_val_test_epes": _epes(ctrl),
+        "milestones": {"stage2": m2},
+        "corpus": {"dir": d2, "train_seqs": args.stage2_train_seqs,
+                   "heldout_seqs": args.stage2_heldout_seqs,
+                   "noise": args.stage2_noise},
+    }
+    with open(os.path.join(args.out, "recipe_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     print("\n================= RECIPE SUMMARY =================")
     print(f"stage1: losses {losses1[:2]} -> {losses1[-2:]}")
     print(f"stage2 warm start: "
           f"{warm.group(1) if warm else '??'} tensors from stage 1")
     print(f"stage2: losses {losses2[:2]} -> {losses2[-2:]}")
-    print(f"stage2 val/test EPEs: {epes}")
-    print(f"logs: {s1_log} / {s2_log}")
+    print(f"stage2 val/test EPEs: {summary['stage2_val_test_epes']}")
+    if args.control:
+        print(f"control val/test EPEs: {summary['control_val_test_epes']}")
+    print(f"logs: {s1_log} / {s2_log}" +
+          (f" / {ctrl_log}" if args.control else ""))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,19 @@ def main() -> None:
                    help="run from an AOT serving bundle written by "
                         "--export-bundle (same platform/shape) — skips the "
                         "minutes-long cold compile entirely")
+    p.add_argument("--target-fps", type=float, default=0.0,
+                   help="pick the serving dispatch chunk size for this fps-"
+                        "per-stream target from the measured latency model "
+                        "(serving.select_operating_point); warns when the "
+                        "stream count cannot reach it on one chip; recorded "
+                        "in the bundle meta with --export-bundle")
+    p.add_argument("--streams", type=int, default=1,
+                   help="concurrent stream count for --target-fps planning")
+    p.add_argument("--latency-model", default="tunnel",
+                   choices=("tunnel", "direct"),
+                   help="measured latency model for --target-fps: this "
+                        "sandbox's remote-tunnel chip or a directly-"
+                        "attached chip (docs/PERF.md)")
     p.add_argument("--no-exact-growth", action="store_true",
                    help="skip the reference's 1->LOCAL_MAP_SIZE local-map "
                         "growth frames (TemporalStereo.py:367-372) and start "
@@ -110,12 +123,11 @@ def main() -> None:
         variables, n = load_any_weights(variables, args.checkpoint)
         print(f"loaded {n} tensors from {args.checkpoint}")
     if args.fold_bn:
-        # fold BEFORE any jit: the traced graphs must see the fast path
-        from ..nn.layers import set_folded_bn_paths
+        # the folded variables carry the 'folded_bn' marker collection that
+        # engages the single-add fast path inside nn.layers.Norm
         from ..utils.fold_bn import fold_batch_norms
 
         variables, fold_paths = fold_batch_norms(variables)
-        set_folded_bn_paths(fold_paths)
         print(f"folded {len(fold_paths)} BNs into conv weights")
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
@@ -130,6 +142,24 @@ def main() -> None:
 
     from functools import partial
 
+    op_point = None
+    if args.target_fps > 0:
+        from ..serving import (V5E_DIRECT, V5E_TUNNEL,
+                               select_operating_point)
+
+        lm = V5E_DIRECT if args.latency_model == "direct" else V5E_TUNNEL
+        op_point = select_operating_point(args.streams, args.target_fps,
+                                          latency_model=lm)
+        op_point["target_fps"] = args.target_fps
+        op_point["streams"] = args.streams
+        if op_point["feasible"]:
+            print(f"operating point: chunk={op_point['chunk']} -> "
+                  f"{op_point['fps_per_stream']} fps/stream predicted "
+                  f"({op_point['latency_ms']} ms dispatch latency, "
+                  f"model {op_point['model']})")
+        else:
+            print(f"WARNING: {op_point['note']}")
+
     bundle = None
     if args.load_bundle:
         from ..serving import load_streaming_bundle
@@ -140,11 +170,17 @@ def main() -> None:
             f"requested {h}x{w}")
         print(f"loaded AOT bundle: {len(bundle.meta['stages'])} stage "
               f"graphs, zero compile ({args.load_bundle})")
+        if bundle.meta.get("operating_point"):
+            bop = bundle.meta["operating_point"]
+            print(f"bundle operating point: chunk={bop['chunk']} "
+                  f"({bop.get('fps_per_stream')} fps/stream predicted for "
+                  f"{bop.get('streams')} stream(s))")
     elif args.export_bundle:
         from ..serving import export_streaming_bundle, load_streaming_bundle
 
         export_streaming_bundle(model, variables, args.export_bundle,
-                                b=1, h=h, w=w, fold_bn=args.fold_bn)
+                                b=1, h=h, w=w, fold_bn=args.fold_bn,
+                                operating_point=op_point)
         bundle = load_streaming_bundle(args.export_bundle, model, variables)
 
     @partial(jax.jit, static_argnames=("warp",))

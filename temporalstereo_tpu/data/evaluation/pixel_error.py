@@ -16,11 +16,13 @@ from ...ops.warp import inverse_warp
 
 
 def calc_error(est_disp: jnp.ndarray, gt_disp: jnp.ndarray,
-               lb: Optional[float] = None, ub: Optional[float] = None
-               ) -> Dict[str, jnp.ndarray]:
+               lb: Optional[float] = None, ub: Optional[float] = None,
+               return_count: bool = False) -> Dict[str, jnp.ndarray]:
     """EPE + {1,2,3,5}px outlier percentages over the (lb, ub) gt mask.
 
     est/gt: any same-shape layout. Returns scalars; percentages in [0, 100].
+    ``return_count`` adds the valid-pixel count under 'count' (callers use
+    it to weight sample means the way pixel pooling would).
     """
     assert est_disp.shape == gt_disp.shape, (est_disp.shape, gt_disp.shape)
     mask = jnp.ones_like(gt_disp, dtype=bool)
@@ -39,6 +41,8 @@ def calc_error(est_disp: jnp.ndarray, gt_disp: jnp.ndarray,
         out[f"{px}px"] = jnp.where(total >= 1.0, frac * 100.0, 0.0)
     epe = abs_err.sum() / safe_total
     out["epe"] = jnp.where(total >= 1.0, epe, 0.0)
+    if return_count:
+        out["count"] = total
     return out
 
 
@@ -51,10 +55,15 @@ def do_evaluation(est_disp: jnp.ndarray, gt_disp: jnp.ndarray,
 
 
 def do_occlusion_evaluation(est_disp: jnp.ndarray, ref_gt_disp: jnp.ndarray,
-                            target_gt_disp: jnp.ndarray, lb: float, ub: float
+                            target_gt_disp: jnp.ndarray, lb: float, ub: float,
+                            return_counts: bool = False
                             ) -> Dict[str, jnp.ndarray]:
     """Occluded / non-occluded split via LR-consistency warp of the right gt
-    (reference eval.py:45-106). Layout: [B, H, W, 1]."""
+    (reference eval.py:45-106). Layout: [B, H, W, 1].
+
+    ``return_counts`` adds 'occ_count' / 'noc_count' (valid pixels per
+    split) so callers can weight per-sample means by split population — a
+    sample with zero occluded pixels must not contribute a spurious 0."""
     if est_disp is None or ref_gt_disp is None or target_gt_disp is None:
         return {}
     warp_ref = inverse_warp(target_gt_disp, -ref_gt_disp, mode="disparity")
@@ -64,11 +73,13 @@ def do_occlusion_evaluation(est_disp: jnp.ndarray, ref_gt_disp: jnp.ndarray,
     occlusion = jnp.clip(occlusion, 0.0, 1.0)
 
     out = {}
-    occ = calc_error(est_disp * occlusion, ref_gt_disp * occlusion, lb, ub)
+    occ = calc_error(est_disp * occlusion, ref_gt_disp * occlusion, lb, ub,
+                     return_count=return_counts)
     for k, v in occ.items():
         out["occ_" + k] = v
     noc_mask = 1.0 - occlusion
-    noc = calc_error(est_disp * noc_mask, ref_gt_disp * noc_mask, lb, ub)
+    noc = calc_error(est_disp * noc_mask, ref_gt_disp * noc_mask, lb, ub,
+                     return_count=return_counts)
     for k, v in noc.items():
         out["noc_" + k] = v
     return out

@@ -93,8 +93,11 @@ class DataLoader:
         self.prefetch = prefetch
         if use_processes is None:
             use_processes = False
-        self.use_processes = bool(use_processes and
-                                  "fork" in mp.get_all_start_methods())
+        # FORKSERVER only: plain fork of a jax-threaded parent deadlocks
+        # workers (futex_wait, see _ensure_pool) — when forkserver is
+        # unavailable we fall back to the THREAD path, never to fork
+        self.use_processes = bool(
+            use_processes and "forkserver" in mp.get_all_start_methods())
         self.epoch = 0
         self._pool = None
 
@@ -108,21 +111,25 @@ class DataLoader:
         """Returns (indices, is_pad): is_pad marks wrap-padded duplicates so
         evaluation can mask them out of epoch means (torch DistributedSampler
         pads identically but COUNTS the duplicates — a flaw we fix)."""
-        idx = np.arange(len(self.dataset))
+        all_idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
-            rng.shuffle(idx)
+            rng.shuffle(all_idx)
         # deterministic per-host shard: strided slice so every host sees a
         # disjoint subset of samples (windows stay intact)
-        idx = idx[self.shard_index::self.num_shards]
+        idx = all_idx[self.shard_index::self.num_shards]
         is_pad = np.zeros(len(idx), dtype=bool)
         if self.num_shards > 1:
             # pad by wrapping so every host runs the SAME number of batches —
             # a one-batch difference would desync the SPMD collectives and
-            # hang the mesh (torch DistributedSampler pads identically)
+            # hang the mesh (torch DistributedSampler pads identically).
+            # An EMPTY shard (num_shards > dataset size) wraps from the
+            # global list: yielding zero batches while other hosts run one
+            # would desync exactly the same way.
             target = -(-len(self.dataset) // self.num_shards)
-            if len(idx) < target and len(idx) > 0:
-                pad = np.resize(idx, target - len(idx))
+            if len(idx) < target:
+                src = idx if len(idx) > 0 else all_idx
+                pad = np.resize(src, target - len(idx))
                 idx = np.concatenate([idx, pad])
                 is_pad = np.concatenate(
                     [is_pad, np.ones(len(pad), dtype=bool)])
@@ -152,9 +159,9 @@ class DataLoader:
         scrubbed while the server starts so no worker ever claims the chip
         (the sitecustomize gates on PALLAS_AXON_POOL_IPS)."""
         if self._pool is None:
-            methods = mp.get_all_start_methods()
-            method = "forkserver" if "forkserver" in methods else "fork"
-            ctx = mp.get_context(method)
+            # use_processes is gated on forkserver availability in __init__;
+            # never fall back to plain fork here (locked-mutex inheritance)
+            ctx = mp.get_context("forkserver")
             scrub = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
             saved = {k: os.environ.get(k) for k in scrub}
             os.environ.update(scrub)

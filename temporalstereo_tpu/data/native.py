@@ -56,6 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ts_crop.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    if hasattr(lib, "ts_color_jitter"):
+        lib.ts_color_jitter.restype = None
+        lib.ts_color_jitter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float]
     if hasattr(lib, "ts_decode_png"):
         lib.ts_decode_png.restype = ctypes.c_int
         lib.ts_decode_png.argtypes = [
@@ -141,6 +148,29 @@ def resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     lib.ts_resize_bilinear(img.ctypes.data_as(ctypes.c_void_p), h, w, c,
                            out.ctypes.data_as(ctypes.c_void_p), oh, ow)
     return out[..., 0] if squeeze else out
+
+
+def color_jitter_inplace(img: np.ndarray, order: np.ndarray, fb: float,
+                         fc: float, fs: float, fh: float,
+                         fgamma: float) -> Optional[np.ndarray]:
+    """Native torchvision-exact color jitter on [H, W, 3] float32 in [0, 1],
+    in place (the caller owns the copy).  ``order`` = permutation of the 4
+    adjustment ops (brightness/contrast/saturation/hue) — randomness stays
+    in Python so the per-batch deterministic-seed contract holds.  Returns
+    None when the native library is unavailable (callers fall back to the
+    numpy path in data/transforms.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ts_color_jitter"):
+        return None
+    assert img.dtype == np.float32 and img.flags.c_contiguous
+    assert img.ndim == 3 and img.shape[2] == 3
+    order = np.ascontiguousarray(order, np.int32)
+    lib.ts_color_jitter(
+        img.ctypes.data_as(ctypes.c_void_p), img.shape[0] * img.shape[1],
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(order),
+        ctypes.c_float(fb), ctypes.c_float(fc), ctypes.c_float(fs),
+        ctypes.c_float(fh), ctypes.c_float(fgamma))
+    return img
 
 
 def normalize_inplace(img: np.ndarray, mean: np.ndarray,

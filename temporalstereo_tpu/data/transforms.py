@@ -67,7 +67,8 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState,
                  contrast: Tuple[float, float] = (0.5, 1.5),
                  saturation: Tuple[float, float] = (0.5, 1.5),
                  hue: Tuple[float, float] = (-0.1, 0.1),
-                 gamma: Tuple[float, float] = (0.8, 1.2)) -> np.ndarray:
+                 gamma: Tuple[float, float] = (0.8, 1.2),
+                 use_native: Optional[bool] = None) -> np.ndarray:
     """torchvision-semantics ColorJitter + gamma aug on [H, W, 3] floats in
     [0, 1] — the reference's train-time photometric pipeline with its exact
     factor ranges (base.py:73-97: ColorJitter((0.4,2.0),(0.5,1.5),(0.5,1.5),
@@ -76,13 +77,34 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState,
     Matches torchvision: the four adjustments run in RANDOM order; blends use
     ``ratio*img + (1-ratio)*target`` with clamping; hue is a true HSV
     rotation.
+
+    All randomness is drawn HERE (factors, op order, gamma — one fixed
+    rng-consumption sequence), then the pixel work runs in the native C++
+    kernel (native/tsnative.cpp ts_color_jitter, the measured #1 host cost
+    of loader assembly) when built, else in the numpy path below; the two
+    are pinned against each other in tests/test_native.py.  ``use_native``:
+    None = auto, False forces numpy (parity tests).
     """
     fb = rng.uniform(*brightness)
     fc = rng.uniform(*contrast)
     fs = rng.uniform(*saturation)
     fh = rng.uniform(*hue)
+    order = rng.permutation(4)
+    g = rng.uniform(*gamma)
+
+    if use_native is None:
+        use_native = img.ndim == 3 and img.shape[-1] == 3
+    if use_native:
+        from . import native
+
+        out = np.ascontiguousarray(img, np.float32)
+        out = out.copy() if out is img else out
+        if native.color_jitter_inplace(out, order, fb, fc, fs, fh,
+                                       g) is not None:
+            return out
+
     out = img.astype(np.float32)
-    for op in rng.permutation(4):
+    for op in order:
         if op == 0:  # brightness: blend with zero image
             out = np.clip(out * fb, 0.0, 1.0)
         elif op == 1:  # contrast: blend with mean of grayscale
@@ -92,7 +114,6 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState,
         else:  # hue rotation in HSV
             h, s, v = _rgb_to_hsv(out)
             out = _hsv_to_rgb((h + fh) % 1.0, s, v)
-    g = rng.uniform(*gamma)
     out = np.clip(out, 0.0, 1.0) ** g
     return np.clip(out, 0.0, 1.0).astype(np.float32)
 

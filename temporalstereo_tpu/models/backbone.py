@@ -166,11 +166,11 @@ class Conv2dDW(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)), feature_group_count=x.shape[-1],
                     use_bias=False, dtype=self.dtype)(x)
-        from ..nn.layers import _BNShift, _folded_here
+        from ..nn.layers import _BNShift
 
-        if not train and _folded_here(self):
-            # BN folded into the conv kernel (utils/fold_bn) — only the
-            # shift remains
+        if not train and self.has_variable("folded_bn", "marker"):
+            # BN folded into the conv kernel (utils/fold_bn wrote this
+            # module's 'folded_bn' marker) — only the shift remains
             y = _BNShift(name="BatchNorm_0", dtype=self.dtype)(y)
         else:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -28,19 +28,15 @@ from flax import linen as nn
 
 Activation = Union[str, Tuple, list, None]
 
-# BatchNorm param-subtree paths rewritten by utils/fold_bn.fold_batch_norms
-# (scale/stats neutralized, shift moved into bias): at eval these BNs are
-# exactly `x + bias`, and the fast path below emits only that add — deleting
-# the sub/rsqrt/mul/mul chain and its stat-tensor prefetches per BN.
-_FOLDED_BN_PATHS: frozenset = frozenset()
-
-
-def set_folded_bn_paths(paths) -> None:
-    """Activate the folded-BN fast path for the given BatchNorm param paths
-    (tuples ending in 'BatchNorm_0'; [] deactivates).  Pair ONLY with
-    variables produced by utils/fold_bn.fold_batch_norms — eval graphs only."""
-    global _FOLDED_BN_PATHS
-    _FOLDED_BN_PATHS = frozenset(tuple(p) for p in paths)
+# Folded-BN fast path (utils/fold_bn.fold_batch_norms rewrites BN subtrees:
+# scale/stats neutralized, shift moved into bias): at eval these BNs are
+# exactly `x + bias`, and _BNShift emits only that add — deleting the
+# sub/rsqrt/mul/mul chain and its stat-tensor prefetches per BN.  Activation
+# is coupled to the VARIABLES: fold_batch_norms writes a 'folded_bn' marker
+# collection and Norm checks `self.has_variable('folded_bn', 'marker')` at
+# its own scope, so unfolded variables (or a second model instance) can
+# never silently skip BN normalization (advisor r4 finding — no process
+# globals involved).
 
 
 class _BNShift(nn.Module):
@@ -52,16 +48,6 @@ class _BNShift(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         return x + bias.astype(x.dtype)
-
-
-def _folded_here(module: nn.Module) -> bool:
-    if not _FOLDED_BN_PATHS:
-        return False
-    try:
-        path = tuple(module.path)
-    except Exception:
-        return False
-    return path + ("BatchNorm_0",) in _FOLDED_BN_PATHS
 
 
 def get_activation(activation: Activation) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -124,7 +110,8 @@ class Norm(nn.Module):
         if kind is None or kind == "None":
             return x
         if kind in ("BN", "BN1d", "BN3d", "SyncBN", "nnSyncBN", "naiveSyncBN",
-                    "FrozenBN") and not train and _folded_here(self):
+                    "FrozenBN") and not train \
+                and self.has_variable("folded_bn", "marker"):
             return _BNShift(name="BatchNorm_0", dtype=self.dtype)(x)
         if kind in ("BN", "BN1d", "BN3d", "SyncBN", "nnSyncBN", "naiveSyncBN"):
             # use_fast_variance=False: the one-pass E[x^2]-E[x]^2 form loses

@@ -151,13 +151,27 @@ def make_eval_step(model: TemporalStereoNet, cfg: ConfigNode):
                 metrics[f"metric_disparity_{i}/all_{k}"] = sample_mean(v)
             if do_occ and gt_right is not None:
                 # occ/noc split via LR-consistency (reference
-                # TemporalStereo.py:477-484 -> eval.py:45-106)
+                # TemporalStereo.py:477-484 -> eval.py:45-106).  Each split
+                # gets its OWN sample weight gated on that split's valid-
+                # pixel count: a sample with zero occluded (or zero non-
+                # occluded) pixels must not contribute a spurious 0 to the
+                # mean.  The split weights are exported under 'weight:<key>'
+                # and the trainer pools each metric by its own weight, so
+                # epoch means match the per-split protocol exactly.
                 occ = jax.vmap(
                     lambda e, g, gr: do_occlusion_evaluation(
-                        e[None], g[None], gr[None], lb, ub)
+                        e[None], g[None], gr[None], lb, ub,
+                        return_counts=True)
                 )(disps[i], gt, gt_right[-1])
+                counts = {s: occ.pop(f"{s}_count") for s in ("occ", "noc")}
+                split_w = {s: pm * (c > 0).astype(gt.dtype)
+                           for s, c in counts.items()}
                 for k, v in occ.items():
-                    metrics[f"metric_disparity_{i}/{k}"] = sample_mean(v)
+                    sw_k = split_w[k.split("_", 1)[0]]
+                    key = f"metric_disparity_{i}/{k}"
+                    metrics[key] = (jnp.sum(v * sw_k)
+                                    / jnp.maximum(jnp.sum(sw_k), 1.0))
+                    metrics[f"weight:{key}"] = jnp.sum(sw_k)
         return metrics
 
     return eval_step

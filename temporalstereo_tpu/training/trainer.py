@@ -320,7 +320,7 @@ class Trainer:
         # regardless of host count (torch DistributedSampler counts the
         # duplicates; that is the bug, not the bar).
         sums = defaultdict(float)
-        total_weight = 0.0
+        totals = defaultdict(float)
         vis_interval = max(self.cfg.VAL.get("VIS_INTERVAL", 8), 1)
         vis_batch = epoch % max(len(loader) // vis_interval, 1)
         for batch_idx, (sharded, batch) in enumerate(self._prefetch(loader)):
@@ -328,14 +328,19 @@ class Trainer:
             metrics = jax.device_get(metrics)
             weight = float(metrics.pop(
                 "weight", batch["left"].shape[1] * jax.process_count()))
+            # per-key weights ('weight:<key>'): metrics pooled over a
+            # sub-population (occ/noc splits) carry their own sample count
+            keyed_w = {k[len("weight:"):]: float(metrics.pop(k))
+                       for k in list(metrics) if k.startswith("weight:")}
             for k, v in metrics.items():
-                sums[k] += float(v) * weight
-            total_weight += weight
+                w = keyed_w.get(k, weight)
+                sums[k] += float(v) * w
+                totals[k] += w
             if batch_idx == vis_batch:
                 self._log_images(variables, batch, epoch)
             if self.cfg.TRAINER.get("FAST_DEV_RUN", False) and batch_idx >= 1:
                 break
-        means = {k: v / max(total_weight, 1) for k, v in sums.items()}
+        means = {k: v / max(totals[k], 1) for k, v in sums.items()}
         self.writer.stdout("\n" + "*" * 40 +
                            f"  {tag} on Epoch: {epoch}  " + "*" * 40)
         self.writer.stdout(format_error_table(means))

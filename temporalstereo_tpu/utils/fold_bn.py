@@ -17,10 +17,14 @@ ConvTranspose* and backbone Conv2dDW — the only BN consumers), rewrites:
     bn.scale' = 1, mean' = 0, var' = 1 - eps
 
 The folded variables are EXACT under the normal eval path (BN then computes
-x*rsqrt(1)*1 + bias' = x + bias'), so they are safe anywhere; activating the
-fast path via ``set_folded_bn_paths`` additionally collapses each folded BN
-to a single add (nn/layers.py ``_BNShift``), deleting the sub/rsqrt/mul
-chain and its stat-tensor prefetches from the graph.
+x*rsqrt(1)*1 + bias' = x + bias'), so they are safe anywhere.  The returned
+variables additionally carry a ``folded_bn`` marker collection (one leaf per
+folded Norm wrapper): ``nn.layers.Norm`` checks for its marker at apply time
+and collapses that BN to a single add (``_BNShift``), deleting the
+sub/rsqrt/mul chain and its stat-tensor prefetches from the graph.  The fast
+path is thereby coupled to the folded variables THEMSELVES — unfolded
+variables (or a second model instance) can never silently skip BN
+normalization (advisor r4 finding).
 
 EVAL ONLY: folded batch_stats are no longer meaningful for training.
 """
@@ -70,14 +74,18 @@ def fold_batch_norms(variables: Dict[str, Any], eps: float = BN_EPS
     """Return (folded_variables, folded_bn_paths).
 
     ``folded_bn_paths`` are the full param-tree paths of each folded
-    BatchNorm subtree (ending in 'BatchNorm_0'), the keys consumed by
-    ``nn.layers.set_folded_bn_paths`` to activate the single-add fast path.
+    BatchNorm subtree (ending in 'BatchNorm_0'), for inspection/tests.
+    ``folded_variables`` carries a ``folded_bn`` marker collection that
+    activates the single-add fast path in ``nn.layers.Norm`` — pass the
+    whole dict to ``model.apply`` and the fast path engages exactly for
+    these folded BNs, nothing else.
     """
     # mutable deep copies of the dict SPINE (leaves are shared; the fold
     # replaces leaves, never mutates them)
     params = _to_mutable(variables["params"])
     stats = _to_mutable(variables.get("batch_stats", {}))
     folded: List[Tuple[str, ...]] = []
+    markers: List[Tuple[str, ...]] = []  # Norm-module scopes (fast path)
 
     def walk(pnode: Dict, snode: Dict, path: Tuple[str, ...]) -> None:
         if not isinstance(pnode, dict):
@@ -103,6 +111,14 @@ def fold_batch_norms(variables: Dict[str, Any], eps: float = BN_EPS
             bn_s["mean"] = jnp.zeros_like(jnp.asarray(bn_s["mean"]))
             bn_s["var"] = jnp.full_like(jnp.asarray(bn_s["var"]), 1.0 - eps)
             folded.append(path + rel)
+            # drop a marker at the scope whose has_variable('folded_bn',
+            # 'marker') check engages the single-add fast path for THIS
+            # variable dict: the Norm wrapper (nn/layers.py) or the
+            # direct-BN wrapper (backbone Conv2dDW)
+            if rel == ("Norm_0", "BatchNorm_0"):
+                markers.append(path + ("Norm_0",))
+            elif rel == ("BatchNorm_0",):
+                markers.append(path)
         for k, v in pnode.items():
             if isinstance(v, dict):
                 walk(v, snode.get(k, {}) if isinstance(snode, dict) else {},
@@ -112,6 +128,14 @@ def fold_batch_norms(variables: Dict[str, Any], eps: float = BN_EPS
     out = dict(variables)
     out["params"] = params
     out["batch_stats"] = stats
+    if markers:
+        marker_tree: Dict[str, Any] = {}
+        for scope in markers:
+            node = marker_tree
+            for k in scope:
+                node = node.setdefault(k, {})
+            node["marker"] = np.ones((), np.bool_)
+        out["folded_bn"] = marker_tree
     return out, folded
 
 

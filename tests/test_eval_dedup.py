@@ -63,6 +63,24 @@ def test_loader_marks_wrap_padded_samples():
         assert b["pad_mask"].min() == 1.0
 
 
+def test_loader_pads_empty_shards():
+    """num_shards > dataset size: the empty shard must still yield the same
+    number of (all-pad) batches as every other host, wrapped from the
+    global list — zero batches would desync the SPMD collectives
+    (advisor r4, data/loader.py empty-shard finding)."""
+    ds = _ToyStereoDataset(2)
+    per_shard = []
+    for shard in range(3):
+        loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False,
+                            num_shards=3, shard_index=shard, num_workers=1)
+        batches = list(loader)
+        per_shard.append(batches)
+    assert [len(b) for b in per_shard] == [1, 1, 1]
+    # shard 2 (empty) is entirely wrap-padded with a REAL sample's data
+    np.testing.assert_array_equal(per_shard[2][0]["pad_mask"], [0.0])
+    assert np.isfinite(per_shard[2][0]["left"]).all()
+
+
 @pytest.fixture(scope="module")
 def tiny_eval():
     from temporalstereo_tpu.config import get_cfg

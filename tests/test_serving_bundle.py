@@ -88,3 +88,20 @@ def test_bundle_roundtrip_matches_live_streaming(tmp_path):
     np.testing.assert_allclose(np.asarray(bundle.step(l, r, K, baseline, T)),
                                np.asarray(out2["disps"][0]),
                                rtol=1e-4, atol=1e-4)
+
+    # architecture identity: pairing the bundle with a MISMATCHED model
+    # fails fast at load (advisor r4 — meta['model_hash'] verification)
+    cfg2 = get_cfg(opts=[
+        "MODEL.BACKBONE.VARIANT", "tiny",
+        "MODEL.AGGREGATION.COARSE.C", "8",
+        "MODEL.AGGREGATION.FINE.C", "8",
+        "MODEL.AGGREGATION.PRECISE.C", "8",
+        "TRAINER.PRECISION", "f32",
+        "MODEL.WITH_PREVIOUS", "False",
+    ])
+    model2 = build_model(cfg2, dtype=None)
+    variables2 = model2.init({"params": jax.random.PRNGKey(0)}, l0, l0,
+                             None, False)
+    with pytest.raises(ValueError, match="different model"):
+        load_streaming_bundle(path, model2, variables2,
+                              progress=lambda *_: None)

@@ -128,3 +128,47 @@ def test_eval_step_occlusion_metrics(temporal_setup):
     assert "metric_disparity_0/noc_epe" in metrics
     for v in metrics.values():
         assert np.isfinite(float(v))
+
+
+def test_eval_step_occlusion_per_split_weights(temporal_setup):
+    """A sample with valid gt but ZERO occluded pixels must not contribute
+    a spurious 0 to occ_* means: each split is pooled by its own per-sample
+    weight, exported as 'weight:<key>' (advisor r4, step.py occ/noc fix)."""
+    from temporalstereo_tpu.config import get_cfg as _get_cfg
+    from temporalstereo_tpu.training.step import make_eval_step
+    from tests.test_model_training import H as _H, W as _W
+
+    _, model, variables = temporal_setup
+    cfg = _get_cfg(opts=tiny_opts(temporal=True)
+                   + ["VAL.DO_OCCLUSION_EVALUATION", "True",
+                      "VAL.EVAL_DISPARITY_IDS", "[0]"])
+    rng = np.random.RandomState(2)
+    batch = make_batch(rng, 2, 2)  # t=2, b=2
+    # sample 0: random gt/right-gt -> both splits populated
+    gt = rng.uniform(1, 30, size=(2, 2, _H, _W, 1)).astype(np.float32)
+    gt_r = rng.uniform(1, 30, size=(2, 2, _H, _W, 1)).astype(np.float32)
+    # sample 1: perfectly LR-consistent constant disparity on an interior
+    # band, invalid (0) elsewhere -> valid pixels exist, occluded valid
+    # pixels do NOT (the inconsistent region has gt=0 = invalid)
+    gt[:, 1] = 0.0
+    gt[:, 1, :, 8:_W - 8] = 5.0
+    gt_r[:, 1] = 5.0
+    batch["disp_gt"] = gt
+    batch["disp_gt_right"] = gt_r
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    eval_step = make_eval_step(model, cfg)
+    metrics = {k: float(v) for k, v in eval_step(variables, jb).items()}
+    kw = "weight:metric_disparity_0/occ_epe"
+    assert kw in metrics and metrics[kw] == 1.0  # only sample 0 counts
+    assert metrics["weight:metric_disparity_0/noc_epe"] == 2.0
+
+    # occ mean must equal sample 0 evaluated ALONE
+    solo = {k: v[:, :1] if k not in ("K", "baseline") else v[:1]
+            for k, v in batch.items()}
+    solo["K"] = batch["K"][:1]
+    solo["baseline"] = batch["baseline"][:1]
+    m0 = {k: float(v) for k, v in eval_step(
+        variables, {k: jnp.asarray(v) for k, v in solo.items()}).items()}
+    assert np.isclose(metrics["metric_disparity_0/occ_epe"],
+                      m0["metric_disparity_0/occ_epe"], rtol=1e-5)

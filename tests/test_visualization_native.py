@@ -80,26 +80,48 @@ def test_native_color_jitter_bindings():
 
     if not native.available():
         pytest.skip("native library not built")
-    lib = native._load()
-    import ctypes
-
     img = np.random.RandomState(0).rand(6, 8, 3).astype(np.float32)
     orig = img.copy()
-    lib.ts_color_jitter.restype = None
-    lib.ts_color_jitter.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                    ctypes.c_int, ctypes.c_float,
-                                    ctypes.c_float, ctypes.c_float,
-                                    ctypes.c_float]
-    lib.ts_color_jitter(img.ctypes.data_as(ctypes.c_void_p), 6 * 8, 3,
-                        ctypes.c_float(1.1), ctypes.c_float(1.0),
-                        ctypes.c_float(1.0), ctypes.c_float(1.0))
-    assert not np.allclose(img, orig)
+    out = native.color_jitter_inplace(img, np.arange(4), 1.1, 1.2, 0.9,
+                                      0.05, 1.1)
+    assert out is img and not np.allclose(img, orig)
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+    lib = native._load()
+    import ctypes
 
     crop = np.empty((2, 3, 3), np.float32)
     lib.ts_crop(orig.ctypes.data_as(ctypes.c_void_p), 6, 8, 3, 1, 2, 2, 3,
                 crop.ctypes.data_as(ctypes.c_void_p))
     np.testing.assert_allclose(crop, orig[1:3, 2:5], atol=1e-7)
+
+
+def test_native_color_jitter_matches_numpy():
+    """The C++ jitter kernel (native/tsnative.cpp ts_color_jitter) is the
+    routed production path for StereoDataset assembly — pin it against the
+    torchvision-semantics numpy implementation across random factor draws
+    and op orders (VERDICT r4 #2)."""
+    from temporalstereo_tpu.data import native
+    from temporalstereo_tpu.data.transforms import color_jitter
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(5)
+    img = rng.rand(37, 53, 3).astype(np.float32)
+    # a few exact-boundary pixels (HSV tie-break / clip edge cases)
+    img[0, 0] = [1, 0, 0]
+    img[0, 1] = [0.5, 0.5, 0.5]
+    img[0, 2] = [0, 0, 0]
+    img[0, 3] = [1, 1, 1]
+    for seed in range(10):
+        a = color_jitter(img, np.random.RandomState(seed), use_native=True)
+        b = color_jitter(img, np.random.RandomState(seed), use_native=False)
+        np.testing.assert_allclose(a, b, atol=3e-5,
+                                   err_msg=f"seed {seed}")
+    # input is never mutated
+    ref = img.copy()
+    color_jitter(img, np.random.RandomState(0), use_native=True)
+    np.testing.assert_array_equal(img, ref)
 
 
 def test_native_png_decode_roundtrip(rng, tmp_path):
