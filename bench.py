@@ -110,6 +110,15 @@ def main():
         print(f"bench: folded {len(fold_paths)} BNs into conv weights",
               file=sys.stderr, flush=True)
 
+    if os.environ.get("TS_BF16_PARAMS", "") not in ("", "0"):
+        # store weights as bf16 (serving.cast_params_bf16): halves the
+        # weight-fetch bytes behind the profile's 46% weight-DMA share
+        from temporalstereo_tpu.serving import cast_params_bf16
+
+        variables = cast_params_bf16(variables)
+        print("bench: params cast to bf16 storage", file=sys.stderr,
+              flush=True)
+
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
     prev = init_prev_info(model, b, (h, w), mem_shapes,
                           model.precise_cfg.get("topk", 2), model.dtype)

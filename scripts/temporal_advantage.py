@@ -156,7 +156,25 @@ def run_config(name, opts, train_batches, held_batches, args):
     def eval_batch(params, batch_stats, batch):
         vs = {"params": params, "batch_stats": batch_stats}
         out, _, _ = multi_frame_forward(model, vs, batch, train=False)
-        return calc_error(out["disps"][0], batch["disp_gt"][-1], 0, 192)
+        err = calc_error(out["disps"][0], batch["disp_gt"][-1], 0, 192)
+        lm = out.get("local_map")
+        if lm is not None and lm.shape[-1] > 0:
+            # mechanistic probe (r5 regression sweep): BEST-hypothesis error
+            # of the carried map — low best-hyp error + high final EPE means
+            # the hypotheses are good but the cascade can't exploit them
+            # (selection problem); high best-hyp error means the self-fed
+            # map itself degrades (feedback problem)
+            from temporalstereo_tpu.ops.interpolate import resize_bilinear
+
+            gt = batch["disp_gt"][-1]
+            gh, gw = gt.shape[1:3]
+            lw = lm.shape[2]
+            lm_full = resize_bilinear(lm * (gw / lw), (gh, gw))
+            valid = (gt[..., 0] > 0) & (gt[..., 0] < 192)
+            best = jnp.min(jnp.abs(lm_full - gt), axis=-1)
+            err["best_hyp_epe"] = (jnp.sum(best * valid)
+                                   / jnp.maximum(jnp.sum(valid), 1))
+        return err
 
     def eval_on(batches):
         sums, n = {}, 0
@@ -216,7 +234,16 @@ def main():
     ap.add_argument("--context-sweep", action="store_true",
                     help="also evaluate EPE vs context length (1..t_eval "
                          "frames) — one compiled graph per length")
+    ap.add_argument("--local-map-size", type=int, default=3,
+                    help="LOCAL_MAP_SIZE for the map-carrying configs "
+                         "(full / local_map) — the r5 regression sweep "
+                         "varies it")
     args = ap.parse_args()
+
+    for name in ("full", "local_map"):
+        opts = CONFIGS[name]
+        opts[opts.index("MODEL.LOCAL_MAP_SIZE") + 1] = str(
+            args.local_map_size)
 
     if args.tiny:
         for extra in ("MODEL.BACKBONE.VARIANT", "tiny",

@@ -40,6 +40,10 @@ def main() -> None:
                    help="fold eval-mode BatchNorms into conv weights "
                         "(utils/fold_bn) before compiling — fewer ops / "
                         "weight prefetches per frame")
+    p.add_argument("--bf16-params", action="store_true",
+                   help="store the loaded weights as bfloat16 "
+                        "(serving.cast_params_bf16): halves weight-fetch "
+                        "HBM bytes for inference; geometry stays f32")
     p.add_argument("--export-bundle", default="",
                    help="AOT-compile all streaming stage graphs and write a "
                         "serving bundle (serving.py) before running; a fresh "
@@ -129,6 +133,11 @@ def main() -> None:
 
         variables, fold_paths = fold_batch_norms(variables)
         print(f"folded {len(fold_paths)} BNs into conv weights")
+    if args.bf16_params:
+        from ..serving import cast_params_bf16
+
+        variables = cast_params_bf16(variables)
+        print("params cast to bf16 storage")
 
     mem_shapes = backbone_memory_shapes(model.backbone_cfg, (h, w))
     topk = model.precise_cfg.get("topk", 2)

@@ -99,6 +99,20 @@ class StereoDataset:
 
     # ------------------------------------------------------------ sample --
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self._get(idx, self.rng)
+
+    def getitem_seeded(self, idx: int, seed: int) -> Dict[str, np.ndarray]:
+        """Sample with augmentation draws from a fresh ``RandomState(seed)``:
+        the sample is a pure function of ``(idx, seed)``.  The DataLoader
+        derives the seed from (loader seed, epoch, DATASET index), so an
+        epoch's augmented samples are identical across host counts, batch
+        sizes and worker models — stronger than torch's per-worker seeding
+        (reference relies on torch DataLoader worker_init, no such
+        invariance).  Also thread-safe: no shared ``self.rng`` mutation."""
+        return self._get(idx, np.random.RandomState(seed & 0x7FFFFFFF))
+
+    def _get(self, idx: int, rng: np.random.RandomState
+             ) -> Dict[str, np.ndarray]:
         item = self.data_list[idx]
 
         if "intrinsic_path" in item:
@@ -146,7 +160,7 @@ class StereoDataset:
 
         sample = self._transform(lefts, rights, disps,
                                  disps_r if has_right_disp else None,
-                                 norm_K)
+                                 norm_K, rng)
         T_cam = np.stack(poses).astype(np.float32)
         sample["T_cam"] = T_cam
         sample["inv_T"] = np.linalg.inv(T_cam).astype(np.float32)
@@ -154,7 +168,9 @@ class StereoDataset:
         return sample
 
     # --------------------------------------------------------- transform --
-    def _transform(self, lefts, rights, disps, disps_r, norm_K):
+    def _transform(self, lefts, rights, disps, disps_r, norm_K, rng=None):
+        if rng is None:
+            rng = self.rng
         ih, iw = lefts[0].shape[:2]
         th, tw = self.height, self.width
 
@@ -165,7 +181,7 @@ class StereoDataset:
 
         if self.is_train:
             # random crop (base.py:137-155); K shifts by the crop offset
-            y, x = T.random_crop_params(self.rng, ih, iw, th, tw)
+            y, x = T.random_crop_params(rng, ih, iw, th, tw)
             lefts = [T.crop(a, y, x, th, tw) for a in lefts]
             rights = [T.crop(a, y, x, th, tw) for a in rights]
             disps = [T.crop(a, y, x, th, tw) for a in disps]
@@ -174,19 +190,19 @@ class StereoDataset:
             K = T.crop_intrinsics(K, y, x)
 
             # photometric aug, 50% probability (base.py:73-97)
-            if self.rng.rand() < 0.5:
+            if rng.rand() < 0.5:
                 if self.do_same_lr_transform:
-                    seed = self.rng.randint(0, 2 ** 31)
+                    seed = rng.randint(0, 2 ** 31)
                     lefts = [T.color_jitter(a, np.random.RandomState(seed))
                              for a in lefts]
                     rights = [T.color_jitter(a, np.random.RandomState(seed))
                               for a in rights]
                 else:
-                    lefts = [T.color_jitter(a, self.rng) for a in lefts]
-                    rights = [T.color_jitter(a, self.rng) for a in rights]
+                    lefts = [T.color_jitter(a, rng) for a in lefts]
+                    rights = [T.color_jitter(a, rng) for a in rights]
 
             # right-view occlusion patches (base.py:158-173)
-            rights = [T.right_occlusion_aug(a, self.rng) for a in rights]
+            rights = [T.right_occlusion_aug(a, rng) for a in rights]
         else:
             if (ih, iw) != (th, tw):
                 # eval: only the IMAGES are resized to the model size; gt

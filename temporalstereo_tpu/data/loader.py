@@ -48,17 +48,23 @@ def _pool_init(dataset) -> None:
 def _pool_batch(args):
     """Assemble one batch fully inside the worker (decode+augment+collate):
     the main process only unpickles (a memcpy), never runs Python decode.
-    Augmentation randomness is seeded PER BATCH, so epochs are reproducible
-    regardless of which worker picks up which batch (stronger than torch's
-    per-worker seeding)."""
-    idxs, pads, aug_seed = args
-    np.random.seed(aug_seed & 0x7FFFFFFF)
-    if hasattr(_WORKER_DATASET, "rng"):  # StereoDataset augmentation RNG
-        _WORKER_DATASET.rng = np.random.RandomState(aug_seed & 0x7FFFFFFF)
-    samples = [_WORKER_DATASET[int(i)] for i in idxs]
+    Augmentation randomness is seeded PER SAMPLE by (loader seed, epoch,
+    dataset index) — epochs are reproducible regardless of which worker
+    picks up which batch, AND identical across host counts / batch sizes /
+    worker models (stronger than torch's per-worker seeding)."""
+    idxs, pads, seeds = args
+    samples = [_get_sample(_WORKER_DATASET, int(i), int(s))
+               for i, s in zip(idxs, seeds)]
     out = collate(samples)
     out["pad_mask"] = (~np.asarray(pads)).astype(np.float32)
     return out
+
+
+def _get_sample(dataset, idx: int, seed: int):
+    if hasattr(dataset, "getitem_seeded"):  # StereoDataset: pure fn of seed
+        return dataset.getitem_seeded(idx, seed)
+    np.random.seed(seed & 0x7FFFFFFF)  # plain datasets: best-effort seeding
+    return dataset[idx]
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -140,9 +146,15 @@ class DataLoader:
 
     def _batches(self):
         indices, is_pad = self._epoch_indices()
+        # per-sample aug seed: pure function of (loader seed, epoch, DATASET
+        # index) — invariant to host count, batch size, and worker model
+        epoch_seed = self.seed + 100003 * self.epoch
+        seeds = np.asarray([epoch_seed * 131071 + int(i) for i in indices],
+                           dtype=np.int64)
         self.epoch += 1
         batches = [(indices[i:i + self.batch_size],
-                    is_pad[i:i + self.batch_size])
+                    is_pad[i:i + self.batch_size],
+                    seeds[i:i + self.batch_size])
                    for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b[0]) == self.batch_size]
@@ -194,18 +206,12 @@ class DataLoader:
         batches = iter(self._batches())
         pending: deque = deque()
 
-        epoch_seed = self.seed + 100003 * self.epoch
-        n_submitted = [0]
-
         def submit() -> bool:
             try:
-                bi, bp = next(batches)
+                bi, bp, bs = next(batches)
             except StopIteration:
                 return False
-            aug_seed = epoch_seed * 131071 + n_submitted[0]
-            n_submitted[0] += 1
-            pending.append(pool.apply_async(_pool_batch,
-                                            ((bi, bp, aug_seed),)))
+            pending.append(pool.apply_async(_pool_batch, ((bi, bp, bs),)))
             return True
 
         # keep every worker busy plus `prefetch` finished batches in flight
@@ -224,12 +230,19 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
+            seeded = hasattr(self.dataset, "getitem_seeded")
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx, batch_pad in batches:
+                for batch_idx, batch_pad, batch_seed in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__,
-                                            batch_idx))
+                    if seeded:  # per-call RandomState: thread-safe
+                        samples = list(pool.map(
+                            lambda a: self.dataset.getitem_seeded(
+                                int(a[0]), int(a[1])),
+                            zip(batch_idx, batch_seed)))
+                    else:
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                batch_idx))
                     out = collate(samples)
                     # 1.0 = real sample, 0.0 = wrap-padded duplicate; eval
                     # masks pads out of epoch means (training ignores it)

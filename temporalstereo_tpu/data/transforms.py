@@ -82,7 +82,7 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState,
     rng-consumption sequence), then the pixel work runs in the native C++
     kernel (native/tsnative.cpp ts_color_jitter, the measured #1 host cost
     of loader assembly) when built, else in the numpy path below; the two
-    are pinned against each other in tests/test_native.py.  ``use_native``:
+    are pinned against each other in tests/test_visualization_native.py.  ``use_native``:
     None = auto, False forces numpy (parity tests).
     """
     fb = rng.uniform(*brightness)

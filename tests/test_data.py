@@ -218,3 +218,46 @@ def test_color_jitter_torchvision_semantics():
 
     out = color_jitter(img, np.random.RandomState(3))
     assert out.min() >= 0 and out.max() <= 1 and out.dtype == np.float32
+
+
+def test_aug_deterministic_across_hosts_batches_and_worker_models(
+        fake_sceneflow):
+    """Per-SAMPLE aug seeding (round 5): an epoch's augmented samples are a
+    pure function of (loader seed, epoch, dataset index) — identical across
+    host counts, batch sizes, and thread vs forkserver worker models.  This
+    is the invariance the 2-process Trainer.fit equality test relies on."""
+    root, annfile, _ = fake_sceneflow
+    node = _data_node(root, annfile, 32, 64, [-1, 0])
+
+    def epoch_samples(num_shards, shard_index, batch_size, use_processes):
+        node2 = node.clone()
+        node2.BATCH_SIZE = batch_size
+        node2.PROCESS_WORKERS = use_processes
+        node2.NUM_WORKERS = 2
+        loader = build_dataloader(node2, "train", num_shards=num_shards,
+                                  shard_index=shard_index)
+        loader.shuffle = False          # fixed index->sample mapping
+        loader.drop_last = False
+        out = {}
+        for b in loader:
+            for j in range(b["left"].shape[1]):
+                key = float(np.asarray(b["disp_gt"][0, j]).sum())
+                out[key] = np.asarray(b["left"][:, j]).copy()
+        loader.close()
+        return out
+
+    ref = epoch_samples(1, 0, 2, False)
+    assert len(ref) == 4
+    # different batch size
+    for key, v in epoch_samples(1, 0, 3, False).items():
+        np.testing.assert_array_equal(ref[key], v)
+    # two "hosts", batch 1 each
+    two = {}
+    for shard in range(2):
+        two.update(epoch_samples(2, shard, 1, False))
+    assert len(two) == 4
+    for key, v in two.items():
+        np.testing.assert_array_equal(ref[key], v)
+    # forkserver process pool
+    for key, v in epoch_samples(1, 0, 2, True).items():
+        np.testing.assert_array_equal(ref[key], v)

@@ -60,12 +60,14 @@ from temporalstereo_tpu.utils.torch_import import (  # noqa: E402
 H, W = 96, 128  # /32-divisible; 1/16 grid 6x8 (pool3d needs >= 5)
 
 
-def _real_temporal_model(frame_idxs, local_map_size):
+def _real_temporal_model(frame_idxs, local_map_size,
+                         use_past_cost=True):
     cfg = ref_project_config._C.clone()
     cfg.merge_from_file(refshim.PROJECT_DIR + "/configs/kitti2015-multi.yaml")
     cfg.merge_from_list([
         "FRAME_IDXS", repr(list(frame_idxs)),
         "MODEL.LOCAL_MAP_SIZE", str(local_map_size),
+        "MODEL.USE_PAST_COST", str(use_past_cost),
     ])
     model = ref_project.TemporalStereo(cfg.convert_to_dict())
     model.eval()
@@ -83,16 +85,17 @@ def _randomize_bn(model, seed=0):
                     m.running_var.shape, generator=g) * 0.5 + 0.75)
 
 
-def _build_pair(frame_idxs, local_map_size, seed=61):
+def _build_pair(frame_idxs, local_map_size, seed=61,
+                use_past_cost=True):
     torch.manual_seed(seed)
-    real = _real_temporal_model(frame_idxs, local_map_size)
+    real = _real_temporal_model(frame_idxs, local_map_size, use_past_cost)
     _randomize_bn(real, seed=seed + 1)
     sd = {k: v.numpy() for k, v in real.state_dict().items()}
 
     cfg = get_cfg(opts=[
         "TRAINER.PRECISION", "f32",
         "MODEL.WITH_PREVIOUS", "True",
-        "MODEL.USE_PAST_COST", "True",
+        "MODEL.USE_PAST_COST", str(use_past_cost),
         "MODEL.LOCAL_MAP_SIZE", str(local_map_size),
         "MODEL.BACKBONE.MEMORY_PERCENT", "0.5",
     ])
@@ -322,3 +325,55 @@ def test_local_map_growth_exact_parity():
         assert r < 5e-3, (
             f"growth frame {i} diverges from the reference schedule: "
             f"{r:.3e} (all: {rels})")
+
+
+@pytest.mark.slow
+def test_real_local_map_only_chain_parity():
+    """The ABLATION operating point (docs/PERF.md temporal table: local-map
+    only, USE_PAST_COST=False) pinned against the real reference: T=5 with
+    LOCAL_MAP_SIZE=3 covers the full 0->3 growth window plus one steady
+    frame.  The local-map-only configuration REGRESSES accuracy vs
+    single-frame in the r4 ablation (EPE 2.21 vs 1.77); this test
+    distinguishes 'mechanism needs past-cost' from 'hypothesis-injection
+    bug' by proving the injection path (fine.py:89-94 concat of warped map
+    hypotheses before the fractional samples, update_map growth
+    TemporalStereo.py:367-372) is reference-exact at exactly that
+    configuration."""
+    frame_idxs = [-4, -3, -2, -1, 0]
+    real, model, variables = _build_pair(frame_idxs, local_map_size=3,
+                                         seed=101, use_past_cost=False)
+    assert model.use_past_cost is False
+    rng = np.random.RandomState(102)
+    lefts = rng.rand(5, 1, H, W, 3).astype(np.float32)
+    rights = rng.rand(5, 1, H, W, 3).astype(np.float32)
+    Ks, baseline, T_cam, inv_T = _geometry(5)
+
+    t_batch = _real_batch(lefts, rights, frame_idxs, Ks, baseline, T_cam,
+                          inv_T)
+    per_frame = _real_per_frame(real, t_batch, frame_idxs)
+
+    t_p2n = np.asarray(chained_poses(jnp.asarray(T_cam), jnp.asarray(inv_T)))
+    mem_shapes = backbone_memory_shapes(model.backbone_cfg, (H, W))
+    prev = init_prev_info(model, 1, (H, W), mem_shapes,
+                          model.precise_cfg.get("topk", 2), jnp.float32,
+                          local_map_channels=0)
+    rels = []
+    for i in range(5):
+        outputs, prev = streaming_step(
+            model, variables, jnp.asarray(lefts[i]), jnp.asarray(rights[i]),
+            prev, jnp.asarray(Ks), jnp.asarray(baseline),
+            jnp.asarray(t_p2n[i]), warp=i > 0)
+        f = np.asarray(outputs["disps"][0][0, :, :, 0])
+        t = per_frame[i][("disps", frame_idxs[i], "l")][0][0, 0].numpy()
+        rels.append(_rel(f, t))
+
+    # the carried local map itself must also match at steady state
+    t_prev = per_frame[-1][("prev_info", 0, "l")]
+    lm_rel = _rel(np.asarray(prev.local_map[0]).transpose(2, 0, 1),
+                  t_prev["local_map"][0].numpy())
+    print(f"\nlocal-map-only chain: per-frame disp max-rel "
+          f"{['%.3e' % r for r in rels]}, local_map rel {lm_rel:.3e}")
+    for i, r in enumerate(rels):
+        assert r < 5e-3, (
+            f"local-map-only frame {i} diverges: {r:.3e} (all: {rels})")
+    assert lm_rel < 5e-3, f"carried local map diverges: {lm_rel:.3e}"
