@@ -18,13 +18,50 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+def _to_host(tree):
+    """Materialize a (replicated) state pytree to host numpy — process-LOCAL:
+    a fully-replicated global array is read from its local shard, never via a
+    collective.  This is what makes process-0-gated checkpointing safe under
+    multi-host: orbax's sharded-jax.Array path calls process_allgather (a
+    collective), which deadlocks when only rank 0 saves (the reference's
+    Lightning rank_zero_only contract, dist_train.py:81-100)."""
+    import numpy as np
+
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
+            raise ValueError(
+                "checkpoint state must be replicated in multi-host runs "
+                f"(got sharding {x.sharding})")
+        return np.asarray(x)
+
+    return jax.tree.map(conv, tree)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = -1):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Each process gets a SINGLE-process-scoped orbax manager (no
+        # cross-process barriers): payloads are host numpy (_to_host), rank 0
+        # is the only writer (Trainer gates save on is_main), and restore is
+        # a plain file read every process can do from a shared path.
+        mp_opts = None
+        if jax.process_count() > 1:
+            pid = jax.process_index()
+            mp_opts = ocp.options.MultiprocessingOptions(
+                primary_host=pid, active_processes={pid},
+                barrier_sync_key_prefix=f"proc{pid}")
+        # create=False with active_processes (orbax forbids the combo);
+        # the directory is created above.  Only pass multiprocessing_options
+        # when overriding — None is not a valid value for it.
+        kw = {}
+        if mp_opts is not None:
+            kw = {"multiprocessing_options": mp_opts, "create": False}
         options = ocp.CheckpointManagerOptions(
             max_to_keep=None if keep is None or keep < 0 else keep,
-            create=True)
+            create=kw.pop("create", True), **kw)
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: TrainState,
@@ -45,6 +82,7 @@ class CheckpointManager:
             payload["swa_count"] = state.swa_count
         if extra:
             payload["extra"] = extra
+        payload = _to_host(payload)
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
         if hparams is not None:
@@ -87,8 +125,11 @@ class CheckpointManager:
         if state.swa_params is not None:
             template["swa_params"] = state.swa_params
             template["swa_count"] = state.swa_count
+        # host-numpy template: restore is a plain per-process file read (the
+        # sharded-template path would engage orbax multihost logic); the
+        # jitted steps re-place the leaves per their explicit shardings
         restored = self.mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+            step, args=ocp.args.StandardRestore(_to_host(template)))
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -106,6 +147,7 @@ def save_weights(path: str, params, batch_stats=None) -> None:
     payload = {"params": params}
     if batch_stats is not None:
         payload["batch_stats"] = batch_stats
+    payload = _to_host(payload)  # collective-free under multi-host
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
 
